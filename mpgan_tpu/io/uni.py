@@ -1,0 +1,164 @@
+"""Mantaflow ``.uni`` volume I/O.
+
+A ``.uni`` file is a single gzip stream containing a 4-byte magic ID
+(``MNT2`` old / ``MNT3`` current), a 288-byte packed header, then the raw
+grid data (little-endian float32/int32, C order, shape (T)ZYX[C]).
+
+Header layouts (matching the tempoGAN-family Python tooling, which is what
+the reference's ``uniio.py`` uses — SURVEY.md §2.3; reference mount was empty
+at survey time so struct layouts follow the upstream tempoGAN ``uniio.py``
+conventions):
+
+    MNT2: struct.unpack('iiiiii256sQ',  288 bytes)
+          dimX dimY dimZ gridType elementType bytesPerElement info[256] timestamp
+    MNT3: struct.unpack('iiiiii252siQ', 288 bytes)
+          dimX dimY dimZ gridType elementType bytesPerElement info[252] dimT timestamp
+
+Element types: 0 = int32, 1 = float32 (Real), 2 = vec3 (3×float32).
+Grid-type bits (mantaflow GridBase::GridType): TypeNone=0 TypeReal=1 TypeInt=2
+TypeVec3=4 TypeMAC=8 TypeLevelset=16 TypeFlags=32.
+
+Arrays are returned/accepted with shape ``(dimZ, dimY, dimX, channels)``
+(channels 1 or 3), matching the layout the reference's tile creator consumes.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import time
+from typing import Any
+
+import numpy as np
+
+_HDR_MNT2 = "iiiiii256sQ"
+_HDR_MNT3 = "iiiiii252siQ"
+_HDR_BYTES = 288
+
+# mantaflow GridBase::GridType bits
+TYPE_NONE = 0
+TYPE_REAL = 1
+TYPE_INT = 2
+TYPE_VEC3 = 4
+TYPE_MAC = 8
+TYPE_LEVELSET = 16
+TYPE_FLAGS = 32
+
+ELEM_INT = 0
+ELEM_REAL = 1
+ELEM_VEC3 = 2
+
+
+def _read_header(stream) -> dict[str, Any]:
+    magic = stream.read(4)
+    if magic == b"MNT2":
+        fields = struct.unpack(_HDR_MNT2, stream.read(_HDR_BYTES))
+        head = dict(
+            zip(
+                ("dimX", "dimY", "dimZ", "gridType", "elementType",
+                 "bytesPerElement", "info", "timestamp"),
+                fields,
+            )
+        )
+        head["dimT"] = 0
+    elif magic == b"MNT3":
+        fields = struct.unpack(_HDR_MNT3, stream.read(_HDR_BYTES))
+        head = dict(
+            zip(
+                ("dimX", "dimY", "dimZ", "gridType", "elementType",
+                 "bytesPerElement", "info", "dimT", "timestamp"),
+                fields,
+            )
+        )
+    else:
+        raise ValueError(f"not a MNT2/MNT3 .uni file (magic={magic!r})")
+    head["magic"] = magic.decode("ascii")
+    return head
+
+
+def _read_content(stream, head: dict[str, Any]) -> np.ndarray:
+    elem = head["elementType"]
+    bpe = head["bytesPerElement"]
+    if not ((elem == ELEM_VEC3 and bpe == 12) or (elem in (ELEM_INT, ELEM_REAL) and bpe == 4)):
+        raise ValueError(f"unsupported elementType={elem} bytesPerElement={bpe}")
+    dtype = np.int32 if elem == ELEM_INT else np.float32
+    data = np.frombuffer(stream.read(), dtype=dtype)
+    channels = 3 if elem == ELEM_VEC3 else 1
+    dim_t = max(head.get("dimT", 0), 0)
+    if dim_t > 1:  # 4D grid
+        shape = (dim_t, head["dimZ"], head["dimY"], head["dimX"], channels)
+    else:
+        shape = (head["dimZ"], head["dimY"], head["dimX"], channels)
+    return data.reshape(shape, order="C")
+
+
+def readUni(path: str) -> tuple[dict[str, Any], np.ndarray]:
+    """Read a .uni file → (header dict, array of shape (Z, Y, X, C))."""
+    with gzip.open(path, "rb") as f:
+        head = _read_header(f)
+        return head, _read_content(f, head)
+
+
+def make_header(
+    arr: np.ndarray,
+    grid_type: int | None = None,
+    info: bytes = b"mpgan_tpu",
+    timestamp: int | None = None,
+) -> dict[str, Any]:
+    """Build an MNT3 header dict for an array shaped (Z, Y, X, C)."""
+    if arr.ndim != 4:
+        raise ValueError(f"expected (Z,Y,X,C) array, got shape {arr.shape}")
+    z, y, x, c = arr.shape
+    if c == 1:
+        elem, bpe = (ELEM_INT, 4) if np.issubdtype(arr.dtype, np.integer) else (ELEM_REAL, 4)
+        gt = grid_type if grid_type is not None else (TYPE_INT if elem == ELEM_INT else TYPE_REAL)
+    elif c == 3:
+        elem, bpe = ELEM_VEC3, 12
+        gt = grid_type if grid_type is not None else TYPE_MAC | TYPE_VEC3
+    else:
+        raise ValueError(f"channels must be 1 or 3, got {c}")
+    return dict(
+        dimX=x, dimY=y, dimZ=z,
+        gridType=gt, elementType=elem, bytesPerElement=bpe,
+        info=info[:252].ljust(252, b"\x00"),
+        dimT=0,
+        timestamp=timestamp if timestamp is not None else int(time.time() * 1e6),
+    )
+
+
+def writeUni(path: str, head: dict[str, Any], arr: np.ndarray) -> None:
+    """Write (header, (Z,Y,X,C) array) as an MNT3 .uni gzip stream."""
+    elem = head["elementType"]
+    dtype = np.int32 if elem == ELEM_INT else np.float32
+    arr = np.ascontiguousarray(arr, dtype=dtype)
+    info = head["info"]
+    if isinstance(info, str):
+        info = info.encode("ascii", "replace")
+    info = info[:252].ljust(252, b"\x00")
+    packed = struct.pack(
+        _HDR_MNT3,
+        head["dimX"], head["dimY"], head["dimZ"],
+        head["gridType"], head["elementType"], head["bytesPerElement"],
+        info, int(head.get("dimT", 0)), int(head["timestamp"]),
+    )
+    n = head["dimX"] * head["dimY"] * head["dimZ"] * max(int(head.get("dimT", 0)), 1)
+    c = 3 if elem == ELEM_VEC3 else 1
+    flat = arr.reshape(-1)
+    if flat.size != n * c:
+        raise ValueError(f"array size {flat.size} != header dims {n}*{c}")
+    with gzip.open(path, "wb", compresslevel=1) as f:
+        f.write(b"MNT3")
+        f.write(packed)
+        f.write(memoryview(flat))
+
+
+def write_density(path: str, dens: np.ndarray) -> None:
+    """Convenience: write a (Z,Y,X) or (Z,Y,X,1) density volume."""
+    if dens.ndim == 3:
+        dens = dens[..., None]
+    writeUni(path, make_header(dens, grid_type=TYPE_REAL), dens)
+
+
+def write_velocity(path: str, vel: np.ndarray) -> None:
+    """Convenience: write a (Z,Y,X,3) velocity volume (stored collocated)."""
+    writeUni(path, make_header(vel), vel)

@@ -1,0 +1,89 @@
+"""Round-trip and format tests for mantaflow .uni I/O (SURVEY.md §2.3, §4(1))."""
+
+import gzip
+import struct
+
+import numpy as np
+import pytest
+
+from mpgan_tpu.io import uni
+
+
+def test_density_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    dens = rng.random((12, 10, 8, 1), dtype=np.float32)
+    p = str(tmp_path / "density_low_0000.uni")
+    uni.writeUni(p, uni.make_header(dens, grid_type=uni.TYPE_REAL), dens)
+    head, back = uni.readUni(p)
+    assert head["dimX"] == 8 and head["dimY"] == 10 and head["dimZ"] == 12
+    assert head["elementType"] == uni.ELEM_REAL
+    np.testing.assert_array_equal(back, dens)
+
+
+def test_velocity_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    vel = rng.standard_normal((6, 5, 4, 3)).astype(np.float32)
+    p = str(tmp_path / "velocity_low_0000.uni")
+    uni.write_velocity(p, vel)
+    head, back = uni.readUni(p)
+    assert head["elementType"] == uni.ELEM_VEC3
+    assert head["bytesPerElement"] == 12
+    np.testing.assert_array_equal(back, vel)
+
+
+def test_int_grid_roundtrip(tmp_path):
+    flags = np.arange(2 * 3 * 4, dtype=np.int32).reshape(2, 3, 4, 1)
+    p = str(tmp_path / "flags.uni")
+    uni.writeUni(p, uni.make_header(flags, grid_type=uni.TYPE_FLAGS), flags)
+    head, back = uni.readUni(p)
+    assert head["elementType"] == uni.ELEM_INT
+    np.testing.assert_array_equal(back, flags)
+
+
+def test_header_is_288_bytes_and_gzip(tmp_path):
+    """Golden structural check: MNT3 = gzip[4-byte magic + 288-byte header + data]."""
+    dens = np.zeros((2, 2, 2, 1), dtype=np.float32)
+    p = str(tmp_path / "d.uni")
+    uni.write_density(p, dens[..., 0])
+    raw = open(p, "rb").read()
+    assert raw[:2] == b"\x1f\x8b"  # gzip magic
+    payload = gzip.decompress(raw)
+    assert payload[:4] == b"MNT3"
+    assert len(payload) == 4 + 288 + 2 * 2 * 2 * 4
+    # header fields parse back
+    dx, dy, dz, gt, et, bpe = struct.unpack("iiiiii", payload[4:28])
+    assert (dx, dy, dz) == (2, 2, 2)
+    assert et == uni.ELEM_REAL and bpe == 4
+
+
+def test_read_mnt2(tmp_path):
+    """We must read legacy MNT2 files (older mantaflow output)."""
+    dens = np.random.default_rng(2).random((3, 4, 5, 1), dtype=np.float32)
+    p = str(tmp_path / "old.uni")
+    hdr = struct.pack(
+        "iiiiii256sQ", 5, 4, 3, uni.TYPE_REAL, uni.ELEM_REAL, 4,
+        b"legacy".ljust(256, b"\x00"), 12345,
+    )
+    with gzip.open(p, "wb") as f:
+        f.write(b"MNT2")
+        f.write(hdr)
+        f.write(memoryview(np.ascontiguousarray(dens.reshape(-1))))
+    head, back = uni.readUni(p)
+    assert head["magic"] == "MNT2"
+    np.testing.assert_array_equal(back, dens)
+
+
+def test_bad_magic_raises(tmp_path):
+    p = str(tmp_path / "junk.uni")
+    with gzip.open(p, "wb") as f:
+        f.write(b"XXXX" + b"\x00" * 300)
+    with pytest.raises(ValueError):
+        uni.readUni(p)
+
+
+def test_size_mismatch_raises(tmp_path):
+    dens = np.zeros((2, 2, 2, 1), dtype=np.float32)
+    head = uni.make_header(dens)
+    head["dimX"] = 7
+    with pytest.raises(ValueError):
+        uni.writeUni(str(tmp_path / "bad.uni"), head, dens)
