@@ -1,0 +1,88 @@
+"""Up/downsampling ops.
+
+- Nearest/linear upsampling of slices (generator pre-upsample, tempoGAN-style).
+- Gaussian-blur + stride downsampling for LR training-data generation
+  (mantaflow's downsample = blur + interpolate; SURVEY.md §2.12).
+
+All ops are pure jnp and jit/vmap-friendly with static factors.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def upsample_nearest_2d(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """(..., H, W, C) → (..., H·f, W·f, C) nearest-neighbor."""
+    x = jnp.repeat(x, factor, axis=-3)
+    return jnp.repeat(x, factor, axis=-2)
+
+
+def upsample_linear_2d(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """(..., H, W, C) → (..., H·f, W·f, C) bilinear (half-pixel centers,
+    TF2/`jax.image` 'linear' semantics, i.e. align_corners=False)."""
+    *lead, h, w, c = x.shape
+    return jax.image.resize(x, (*lead, h * factor, w * factor, c), method="linear")
+
+
+def upsample_nearest_z(vol: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """(Z, Y, X, C) → (Z·f, Y, X, C): second-pass z-axis pre-upsample."""
+    return jnp.repeat(vol, factor, axis=0)
+
+
+def _gauss_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur_nd(x: jnp.ndarray, sigma: float, axes: tuple[int, ...]) -> jnp.ndarray:
+    """Separable Gaussian blur along ``axes`` with edge-replicate padding."""
+    radius = max(1, int(np.ceil(3.0 * sigma)))
+    k = jnp.asarray(_gauss_kernel1d(sigma, radius), dtype=x.dtype)
+    for ax in axes:
+        x = _conv1d_along(x, k, ax, radius)
+    return x
+
+
+def _conv1d_along(x: jnp.ndarray, k: jnp.ndarray, axis: int, radius: int) -> jnp.ndarray:
+    axis = axis % x.ndim
+    xm = jnp.moveaxis(x, axis, -1)
+    lead = xm.shape[:-1]
+    n = xm.shape[-1]
+    flat = xm.reshape(-1, 1, n)
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (radius, radius)), mode="edge")
+    out = jax.lax.conv_general_dilated(
+        flat, k.reshape(1, 1, -1),
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        # full f32 accumulation — TPU default would demote to bf16, which
+        # visibly biases the blur (and therefore LR training data)
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.moveaxis(out.reshape(*lead, n), -1, axis)
+
+
+def downsample_3d(vol: jnp.ndarray, factor: int, blur_sigma: float | None = None) -> jnp.ndarray:
+    """(Z, Y, X, C) → (Z/f, Y/f, X/f, C): Gaussian blur then box-average.
+
+    Mirrors mantaflow-style HR→LR downsampling used to build training pairs.
+    """
+    if blur_sigma is None:
+        blur_sigma = factor / 2.0
+    vol = gaussian_blur_nd(vol, blur_sigma, axes=(0, 1, 2))
+    z, y, x, c = vol.shape
+    vol = vol.reshape(z // factor, factor, y // factor, factor, x // factor, factor, c)
+    return vol.mean(axis=(1, 3, 5))
+
+
+def downsample_2d(img: jnp.ndarray, factor: int, blur_sigma: float | None = None) -> jnp.ndarray:
+    """(H, W, C) → (H/f, W/f, C): Gaussian blur then box-average."""
+    if blur_sigma is None:
+        blur_sigma = factor / 2.0
+    img = gaussian_blur_nd(img, blur_sigma, axes=(0, 1))
+    h, w, c = img.shape
+    img = img.reshape(h // factor, factor, w // factor, factor, c)
+    return img.mean(axis=(1, 3))
