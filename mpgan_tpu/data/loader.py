@@ -1,0 +1,97 @@
+"""Host-side dataset assembly — the reference's ``fluiddataloader.py`` (L2).
+
+Indexes ``<base>/sim_%04d/`` directories and loads per-frame LR/HR .uni
+volumes into dense numpy arrays (SURVEY.md §2.4). Like the reference,
+everything is loaded eagerly into host RAM (``data_fraction`` bounds it);
+unlike the reference, the arrays are then moved once to device and all
+per-step sampling/augmentation happens on-device (SURVEY.md §3.1 rebuild
+consequence — no per-step feed_dict).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from mpgan_tpu.io import uni
+
+LOW_DENSITY = "density_low_%04d.uni"
+LOW_VELOCITY = "velocity_low_%04d.uni"
+HIGH_DENSITY = "density_high_%04d.uni"
+HIGH_VELOCITY = "velocity_high_%04d.uni"
+
+
+@dataclass
+class FluidDataset:
+    """Dense LR/HR volume stacks.
+
+    lr: (N, Z, Y, X, C)  — C = 1 (density) or 4 (density + vx, vy, vz)
+    hr: (N, Z·s, Y·s, X·s, 1) — HR density
+    n_sims, n_frames: N = n_sims · n_frames
+    up_res: spatial factor s
+    """
+    lr: np.ndarray
+    hr: np.ndarray
+    n_sims: int
+    n_frames: int
+    up_res: int
+
+    @property
+    def use_velocities(self) -> bool:
+        return self.lr.shape[-1] >= 4
+
+
+class FluidDataLoader:
+    """Reference-shaped loader: ``FluidDataLoader(...).get()`` → FluidDataset."""
+
+    def __init__(self, base_path: str, from_sim: int, to_sim: int,
+                 frame_min: int = 0, frame_max: int = 120,
+                 use_velocities: bool = True, data_fraction: float = 1.0):
+        self.base_path = base_path
+        self.sims = list(range(from_sim, to_sim + 1))
+        self.frame_min = frame_min
+        self.frame_max = frame_max
+        self.use_velocities = use_velocities
+        self.data_fraction = data_fraction
+
+    def _frames_for(self, sim_dir: str) -> list[int]:
+        frames = []
+        for f in range(self.frame_min, self.frame_max):
+            if os.path.exists(os.path.join(sim_dir, LOW_DENSITY % f)):
+                frames.append(f)
+        if self.data_fraction < 1.0 and frames:
+            keep = max(1, int(len(frames) * self.data_fraction))
+            step = max(1, len(frames) // keep)
+            frames = frames[::step][:keep]
+        return frames
+
+    def get(self) -> FluidDataset:
+        lr_list, hr_list = [], []
+        n_frames = None
+        for sim in self.sims:
+            sim_dir = os.path.join(self.base_path, f"sim_{sim:04d}")
+            if not os.path.isdir(sim_dir):
+                raise FileNotFoundError(f"missing sim dir {sim_dir}")
+            frames = self._frames_for(sim_dir)
+            if not frames:
+                raise FileNotFoundError(f"no frames in {sim_dir}")
+            if n_frames is None:
+                n_frames = len(frames)
+            elif len(frames) != n_frames:
+                frames = frames[:n_frames]
+            for f in frames:
+                _, d_lo = uni.readUni(os.path.join(sim_dir, LOW_DENSITY % f))
+                chans = [d_lo.astype(np.float32)]
+                if self.use_velocities:
+                    _, v_lo = uni.readUni(os.path.join(sim_dir, LOW_VELOCITY % f))
+                    chans.append(v_lo.astype(np.float32))
+                lr_list.append(np.concatenate(chans, axis=-1))
+                _, d_hi = uni.readUni(os.path.join(sim_dir, HIGH_DENSITY % f))
+                hr_list.append(d_hi.astype(np.float32))
+        lr = np.stack(lr_list)
+        hr = np.stack(hr_list)
+        s = hr.shape[1] // lr.shape[1]
+        return FluidDataset(lr=lr, hr=hr, n_sims=len(self.sims),
+                            n_frames=n_frames, up_res=s)

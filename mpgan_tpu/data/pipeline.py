@@ -1,0 +1,281 @@
+"""Device-side tile creator — the reference's ``tilecreator_t.py`` (L3),
+rebuilt as fused XLA ops (SURVEY.md §2.5, §3.1 rebuild consequence).
+
+Everything the reference does per-batch in host numpy — random patch
+selection, density-threshold rejection, velocity-aware rotation/flip/scale,
+temporal-triplet assembly — happens here inside one jit: a batch is a set of
+*coordinate grids in LR physical space*, rotated/scaled by the augmentation
+transform, gathered from the resident volumes by trilinear interpolation
+(single resampling step), with velocity channels multiplied by the inverse
+Jacobian.
+
+Plane conventions (multi-pass slicing, SURVEY.md §2.7): patches are cut from
+- 'xy' planes (pass 1): h = y, w = x, slice normal = z
+- 'xz' planes (pass 2): h = z, w = x, slice normal = y
+- 'yz' planes (optional pass 3): h = y, w = z, slice normal = x
+Gathered velocity channels are permuted to the uniform per-plane layout
+``[density, v_w, v_h, v_out]`` so generators and the augmentation vector
+transform see one convention regardless of plane.
+
+Sources:
+- ``lr``  (N, Z, Y, X, C): LR volumes (density [+ velocity in LR cell units])
+- ``hrz`` (N, Z, Y·s, X·s, 1): HR density downsampled along z only — the
+  pass-1 target / pass-2 ground-truth input (intermediate volume)
+- ``hr``  (N, Z·s, Y·s, X·s, 1): full HR density — the pass-2 target
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpgan_tpu.data.loader import FluidDataset
+from mpgan_tpu.ops.augment import sample_transform, transform_vectors
+from mpgan_tpu.ops.interp import trilinear_sample
+from mpgan_tpu.ops.resample import downsample_axis
+
+PLANES = ("xy", "xz", "yz")
+# channel permutation [d, vx, vy, vz] → [d, v_w, v_h, v_out] per plane
+_VEL_PERM = {"xy": (0, 1, 2, 3), "xz": (0, 1, 3, 2), "yz": (0, 3, 2, 1)}
+# (h, w, normal) → volume axes (0=z, 1=y, 2=x)
+_PLANE_AXES = {"xy": (1, 2, 0), "xz": (0, 2, 1), "yz": (1, 0, 2)}
+
+
+class TCStatic(NamedTuple):
+    """Hashable static sampling config (jit static arg)."""
+    tile_lr: int
+    up_res: int
+    n_vel: int
+    n_frames: int
+    n_vols: int
+    augment: bool
+    rot_mode: int
+    scale_min: float
+    scale_max: float
+    dims_zyx: tuple[int, int, int]
+
+
+def plane_patch_coords(plane: str, center_zyx: jnp.ndarray, a: jnp.ndarray,
+                       h: int, w: int, spacing_h: float, spacing_w: float) -> jnp.ndarray:
+    """(h, w, 3) grid of (z, y, x) coords in LR space for one patch.
+
+    ``a`` (2,2) is the augmentation transform acting on (h, w) offsets;
+    spacing is LR cells per output pixel (1 for LR tiles, 1/s for HR tiles).
+    """
+    off_h = (jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2.0) * spacing_h
+    off_w = (jnp.arange(w, dtype=jnp.float32) - (w - 1) / 2.0) * spacing_w
+    dh, dw = jnp.broadcast_arrays(off_h[:, None], off_w[None, :])
+    rh = a[0, 0] * dh + a[0, 1] * dw
+    rw = a[1, 0] * dh + a[1, 1] * dw
+    ax_h, ax_w, _ = _PLANE_AXES[plane]
+    out = jnp.zeros((h, w, 3), jnp.float32) + center_zyx
+    out = out.at[..., ax_h].add(rh)
+    out = out.at[..., ax_w].add(rw)
+    return out
+
+
+def gather_patch(vol: jnp.ndarray, coords_lr: jnp.ndarray,
+                 scale_zyx: tuple[float, float, float]) -> jnp.ndarray:
+    """Trilinear-gather a patch from ``vol`` given LR-space coords.
+
+    scale_zyx converts LR coords to this volume's index space:
+    idx = (c + 0.5)·scale − 0.5 (cell-center-consistent rescaling).
+    """
+    s = jnp.asarray(scale_zyx, jnp.float32)
+    idx = (coords_lr + 0.5) * s - 0.5
+    return trilinear_sample(vol, idx)
+
+
+def _permute_channels(patch: jnp.ndarray, plane: str, n_vel: int) -> jnp.ndarray:
+    if n_vel == 0:
+        return patch
+    perm = _VEL_PERM[plane]
+    chans = [patch[..., perm[0]:perm[0] + 1]]
+    for c in perm[1:4]:
+        chans.append(patch[..., c:c + 1])
+    rest = patch[..., 4:]
+    if rest.shape[-1]:
+        chans.append(rest)
+    return jnp.concatenate(chans, axis=-1)
+
+
+def _margin(st: TCStatic) -> float:
+    m = (st.tile_lr - 1) / 2.0 * (st.scale_max if st.augment else 1.0)
+    if st.augment and st.rot_mode == 2:
+        m *= float(np.sqrt(2.0))
+    return float(m + 1.0)
+
+
+def _candidates(key, n: int, plane: str, dense_idx: jnp.ndarray,
+                st: TCStatic, normal_hr: bool = False):
+    """(vol, center_zyx) candidates drawn from the dense-cell index.
+
+    ``dense_idx`` (K, 4) holds (vol, zp, yp, xp) pooled cells whose density
+    passed the rejection threshold (precomputed at init — this replaces the
+    reference's resample-until-dense loop with an exact draw, SURVEY.md §2.5).
+    ``normal_hr``: sample the slice-normal coordinate on the HR lattice
+    (pass 2 slices the intermediate volume at HR-spaced positions)."""
+    kp, kj = jax.random.split(key)
+    m = _margin(st)
+    _, _, ax_n = _PLANE_AXES[plane]
+    dims = st.dims_zyx
+    half = (st.tile_lr - 1) / 2.0
+
+    pick = jax.random.randint(kp, (n,), 0, dense_idx.shape[0])
+    cells = dense_idx[pick]
+    vol = cells[:, 0]
+    # uniform jitter inside the pooled (2³) cell → LR-space float center
+    jitter = jax.random.uniform(kj, (n, 3), minval=0.0, maxval=2.0)
+    raw = cells[:, 1:4].astype(jnp.float32) * 2.0 + jitter
+
+    def coord(axis):
+        size = dims[axis]
+        c = raw[:, axis]
+        if axis == ax_n:  # slice normal: lattice position, no margin
+            if normal_hr:
+                j = jnp.round((c + 0.5) * st.up_res - 0.5)
+                j = jnp.clip(j, 0, size * st.up_res - 1)
+                return (j + 0.5) / st.up_res - 0.5
+            return jnp.clip(jnp.round(c), 0, size - 1)
+        lo, hi = m, max(size - 1 - m, m)
+        c = jnp.clip(c, lo, hi)
+        # snap to the half-integer lattice so that, without rotation/scale,
+        # LR patch pixels land exactly on cells (and HR pixels on HR cells)
+        return jnp.floor(c - half) + half
+
+    centers = jnp.stack([coord(0), coord(1), coord(2)], axis=-1)
+    return vol, centers
+
+
+def _transforms(key, batch: int, st: TCStatic):
+    if not st.augment:
+        eye = jnp.broadcast_to(jnp.eye(2), (batch, 2, 2))
+        return eye, eye
+    keys = jax.random.split(key, batch)
+    return jax.vmap(lambda k: sample_transform(
+        k, st.rot_mode, st.scale_min, st.scale_max))(keys)
+
+
+@partial(jax.jit, static_argnames=("batch", "plane", "temporal", "st"))
+def _sample_pass1(lr, hrz, dense_idx, key, batch: int, plane: str,
+                  temporal: bool, st: TCStatic):
+    k1, k3 = jax.random.split(key)
+    vol, centers = _candidates(k1, batch, plane, dense_idx, st)
+    a, ainv = _transforms(k3, batch, st)
+    t, s = st.tile_lr, st.up_res
+
+    def one(v, c, am, ai):
+        clr = plane_patch_coords(plane, c, am, t, t, 1.0, 1.0)
+        lrp = gather_patch(lr[v], clr, (1.0, 1.0, 1.0))
+        lrp = transform_vectors(_permute_channels(lrp, plane, st.n_vel),
+                                ai, st.n_vel)
+        chr_ = plane_patch_coords(plane, c, am, t * s, t * s, 1.0 / s, 1.0 / s)
+        hrp = gather_patch(hrz[v], chr_, (1.0, float(s), float(s)))
+        return lrp, hrp
+
+    out = {}
+    out["lr"], out["hr"] = jax.vmap(one)(vol, centers, a, ainv)
+    if temporal:
+        for name, dv in (("prev", -1), ("next", +1)):
+            lr2, hr2 = jax.vmap(one)(vol + dv, centers, a, ainv)
+            out[f"lr_{name}"], out[f"hr_{name}"] = lr2, hr2
+    return out
+
+
+@partial(jax.jit, static_argnames=("batch", "plane", "temporal", "st"))
+def _sample_pass2(lr, hrz, hr, dense_idx, key, batch: int, plane: str,
+                  temporal: bool, st: TCStatic):
+    k1, k3 = jax.random.split(key)
+    vol, centers = _candidates(k1, batch, plane, dense_idx, st, normal_hr=True)
+    a, ainv = _transforms(k3, batch, st)
+    t, s = st.tile_lr, st.up_res
+
+    def one(v, c, am, ai):
+        # input: h = z at LR spacing (t px), w = x at HR spacing (t·s px)
+        cin = plane_patch_coords(plane, c, am, t, t * s, 1.0, 1.0 / s)
+        interm = gather_patch(hrz[v], cin, (1.0, float(s), float(s)))
+        vel = None
+        if st.n_vel:
+            lrp = gather_patch(lr[v], cin, (1.0, 1.0, 1.0))
+            lrp = transform_vectors(_permute_channels(lrp, plane, st.n_vel),
+                                    ai, st.n_vel)
+            vel = lrp[..., 1:4]
+        cout = plane_patch_coords(plane, c, am, t * s, t * s, 1.0 / s, 1.0 / s)
+        hrp = gather_patch(hr[v], cout, (float(s), float(s), float(s)))
+        return interm, vel, hrp
+
+    interm, vel, hrp = jax.vmap(one)(vol, centers, a, ainv)
+    out = {"interm": interm, "hr": hrp}
+    if vel is not None:
+        out["lr_vel"] = vel
+    if temporal:
+        for name, dv in (("prev", -1), ("next", +1)):
+            i2, v2, h2 = jax.vmap(one)(vol + dv, centers, a, ainv)
+            out[f"interm_{name}"], out[f"hr_{name}"] = i2, h2
+            if v2 is not None:
+                out[f"lr_vel_{name}"] = v2
+    return out
+
+
+class TileCreator:
+    """Holds device-resident volumes; samples augmented training batches."""
+
+    def __init__(self, dataset: FluidDataset, tile_lr: int,
+                 density_threshold: float = 0.002,
+                 augment: bool = True, rot_mode: int = 2,
+                 scale_min: float = 0.85, scale_max: float = 1.15):
+        self.lr = jnp.asarray(dataset.lr)
+        self.hr = jnp.asarray(dataset.hr)
+        self.hrz = downsample_axis(self.hr, int(dataset.up_res), axis=1)
+        n_frames = int(dataset.n_frames)
+
+        # dense-cell index: pooled (2³) LR density cells above the rejection
+        # threshold, precomputed on host — sampling draws from these directly
+        d = dataset.lr[..., 0]
+        nz, ny, nx = (d.shape[1] // 2) * 2, (d.shape[2] // 2) * 2, (d.shape[3] // 2) * 2
+        pooled = d[:, :nz, :ny, :nx].reshape(
+            d.shape[0], nz // 2, 2, ny // 2, 2, nx // 2, 2).mean(axis=(2, 4, 6))
+        dense = np.argwhere(pooled >= density_threshold)
+        if dense.shape[0] == 0:  # degenerate (all-empty data): allow anywhere
+            dense = np.argwhere(np.ones_like(pooled, dtype=bool))
+        self.dense_idx = jnp.asarray(dense.astype(np.int32))
+        # temporal sampling needs frames in [1, F−2] so t±1 exist
+        frm = dense[:, 0] % n_frames
+        dense_t = dense[(frm >= 1) & (frm <= n_frames - 2)]
+        if dense_t.shape[0] == 0:
+            dense_t = dense
+        self.dense_idx_t = jnp.asarray(dense_t.astype(np.int32))
+
+        self.st = TCStatic(
+            tile_lr=int(tile_lr), up_res=int(dataset.up_res),
+            n_vel=3 if dataset.use_velocities else 0,
+            n_frames=n_frames, n_vols=int(dataset.lr.shape[0]),
+            augment=bool(augment),
+            rot_mode=int(rot_mode), scale_min=float(scale_min),
+            scale_max=float(scale_max),
+            dims_zyx=tuple(int(v) for v in dataset.lr.shape[1:4]),
+        )
+
+    @property
+    def up_res(self) -> int:
+        return self.st.up_res
+
+    def _idx(self, temporal: bool):
+        return self.dense_idx_t if temporal else self.dense_idx
+
+    def sample_pass1(self, key, batch: int, temporal: bool = False,
+                     plane: str = "xy"):
+        """Pass-1 batch: {'lr' (B,t,t,C), 'hr' (B,ts,ts,1)} [+ prev/next]."""
+        return _sample_pass1(self.lr, self.hrz, self._idx(temporal), key,
+                             batch, plane, temporal, self.st)
+
+    def sample_pass2(self, key, batch: int, temporal: bool = False,
+                     plane: str = "xz"):
+        """Pass-2 batch: {'interm' (B,t,ts,1), 'lr_vel' (B,t,ts,3),
+        'hr' (B,ts,ts,1)} [+ prev/next]."""
+        return _sample_pass2(self.lr, self.hrz, self.hr, self._idx(temporal),
+                             key, batch, plane, temporal, self.st)

@@ -78,6 +78,19 @@ def downsample_3d(vol: jnp.ndarray, factor: int, blur_sigma: float | None = None
     return vol.mean(axis=(1, 3, 5))
 
 
+def downsample_axis(vol: jnp.ndarray, factor: int, axis: int,
+                    blur_sigma: float | None = None) -> jnp.ndarray:
+    """Blur + box-average along a single axis (e.g. z-only downsampling of HR
+    volumes to build the pass-1 intermediate ground truth, SURVEY.md §2.7)."""
+    if blur_sigma is None:
+        blur_sigma = factor / 2.0
+    vol = gaussian_blur_nd(vol, blur_sigma, axes=(axis,))
+    axis = axis % vol.ndim
+    shape = vol.shape
+    new = shape[:axis] + (shape[axis] // factor, factor) + shape[axis + 1:]
+    return vol.reshape(new).mean(axis=axis + 1)
+
+
 def downsample_2d(img: jnp.ndarray, factor: int, blur_sigma: float | None = None) -> jnp.ndarray:
     """(H, W, C) → (H/f, W/f, C): Gaussian blur then box-average."""
     if blur_sigma is None:

@@ -1,0 +1,101 @@
+"""Training-data generation: buoyant smoke scenes → LR/HR .uni pairs.
+
+Mirrors the reference's mantaflow datagen flow (SURVEY.md §2.12/§3.5): per
+simulation, run an HR plume (optionally with a solid obstacle), and per frame
+write ``density_high_%04d.uni`` / ``velocity_high_%04d.uni`` plus blurred+
+downsampled ``density_low_%04d.uni`` / ``velocity_low_%04d.uni`` into
+``<base>/sim_%04d/``. LR pairs come from downsampling HR, exactly as the
+reference does — LR is never simulated separately.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpgan_tpu.io import uni
+from mpgan_tpu.ops.resample import downsample_3d
+from mpgan_tpu.solver import noise, smoke
+
+
+def plume_scene(key: jax.Array, res: int, with_obstacle: bool = False):
+    """Build (state, inflow_mask, params) for a rising-plume scene."""
+    solid = None
+    if with_obstacle:
+        k1, key = jax.random.split(key)
+        cy = float(jax.random.uniform(k1, (), minval=0.45, maxval=0.65))
+        solid = smoke.sphere_mask(res, res, res, (0.5, cy, 0.5), 0.12)
+    state = smoke.init_state(res, res, res, solid)
+    # inflow: sphere near the bottom (y is up)
+    inflow = smoke.sphere_mask(res, res, res, (0.5, 0.12, 0.5), 0.14)
+    if solid is not None:
+        inflow = inflow * (1.0 - solid)
+    params = smoke.SmokeParams(
+        dt=0.5, buoyancy=2e-2, vorticity_eps=0.1,
+        jacobi_iters=50, maccormack=True,
+    )
+    return state, inflow, params
+
+
+def generate_sim(sim_dir: str, seed: int, res_hi: int, up_res: int,
+                 frames: int, warmup: int = 8, with_obstacle: bool = False,
+                 save_flags: bool = False) -> None:
+    """Run one simulation and write LR/HR .uni pairs per frame."""
+    os.makedirs(sim_dir, exist_ok=True)
+    key = jax.random.PRNGKey(seed)
+    state, inflow_mask, params = plume_scene(key, res_hi, with_obstacle)
+
+    # One jitted function per frame: inflow noise + solver step (+ LR
+    # downsample). Running these eagerly costs an op-by-op round trip per
+    # primitive on the remote-compile TPU backend (~12 s/frame); fused they
+    # run in milliseconds.
+    @jax.jit
+    def frame_step(state, t):
+        src = noise.time_varying_inflow(key, inflow_mask, t)
+        return smoke.step(state, params, src, inflow_mask)
+
+    @jax.jit
+    def frame_outputs(state):
+        # velocity magnitudes live in HR cell units; rescale so LR velocities
+        # are in LR cell units (the reference trains on LR-grid velocities)
+        return (downsample_3d(state.density, up_res),
+                downsample_3d(state.velocity, up_res) / up_res)
+
+    t = 0
+    for _ in range(warmup):
+        state = frame_step(state, t)
+        t += 1
+
+    for f in range(frames):
+        state = frame_step(state, t)
+        t += 1
+
+        dens_lo_j, vel_lo_j = frame_outputs(state)
+        dens_hi = np.asarray(state.density)
+        vel_hi = np.asarray(state.velocity)
+        dens_lo = np.asarray(dens_lo_j)
+        vel_lo = np.asarray(vel_lo_j)
+
+        uni.write_density(os.path.join(sim_dir, f"density_high_{f:04d}.uni"), dens_hi[..., 0])
+        uni.write_velocity(os.path.join(sim_dir, f"velocity_high_{f:04d}.uni"), vel_hi)
+        uni.write_density(os.path.join(sim_dir, f"density_low_{f:04d}.uni"), dens_lo[..., 0])
+        uni.write_velocity(os.path.join(sim_dir, f"velocity_low_{f:04d}.uni"), vel_lo)
+        if save_flags and state.solid is not None:
+            flags = state.solid.astype(np.int32)
+            uni.writeUni(os.path.join(sim_dir, f"flags_{f:04d}.uni"),
+                         uni.make_header(np.asarray(flags), grid_type=uni.TYPE_FLAGS),
+                         np.asarray(flags))
+
+
+def generate_dataset(base_path: str, from_sim: int, to_sim: int, res_hi: int,
+                     up_res: int, frames: int, seed: int = 0,
+                     obstacles_every: int = 0) -> None:
+    """Generate sims ``sim_%04d`` for indices [from_sim, to_sim] inclusive."""
+    for i, sim in enumerate(range(from_sim, to_sim + 1)):
+        with_obs = obstacles_every > 0 and (i % obstacles_every == obstacles_every - 1)
+        sim_dir = os.path.join(base_path, f"sim_{sim:04d}")
+        generate_sim(sim_dir, seed + sim, res_hi, up_res, frames,
+                     with_obstacle=with_obs, save_flags=with_obs)

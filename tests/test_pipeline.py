@@ -1,0 +1,146 @@
+"""Tests for the loader and device-side tile creator (SURVEY.md §2.4/§2.5)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mpgan_tpu.data.loader import FluidDataLoader, FluidDataset
+from mpgan_tpu.data import pipeline
+from mpgan_tpu.solver import datagen
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("data"))
+    datagen.generate_dataset(base, from_sim=1000, to_sim=1001, res_hi=32,
+                             up_res=4, frames=4, seed=0)
+    return FluidDataLoader(base, 1000, 1001, frame_min=0, frame_max=4).get()
+
+
+def test_loader_shapes(tiny_dataset):
+    ds = tiny_dataset
+    assert ds.lr.shape == (8, 8, 8, 8, 4)     # 2 sims × 4 frames, 8³ LR, d+vel
+    assert ds.hr.shape == (8, 32, 32, 32, 1)
+    assert ds.up_res == 4 and ds.use_velocities
+
+
+def test_loader_missing_dir_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        FluidDataLoader(str(tmp_path), 5, 5).get()
+
+
+def _synthetic_dataset(n_sims=2, n_frames=3, zyx=(16, 24, 20), s=2, seed=0):
+    rng = np.random.default_rng(seed)
+    n = n_sims * n_frames
+    z, y, x = zyx
+    lr = rng.random((n, z, y, x, 4), dtype=np.float32)
+    hr = rng.random((n, z * s, y * s, x * s, 1), dtype=np.float32)
+    return FluidDataset(lr=lr, hr=hr, n_sims=n_sims, n_frames=n_frames, up_res=s)
+
+
+def test_sample_pass1_shapes():
+    ds = _synthetic_dataset()
+    tc = pipeline.TileCreator(ds, tile_lr=8)
+    out = tc.sample_pass1(jax.random.PRNGKey(0), batch=6)
+    assert out["lr"].shape == (6, 8, 8, 4)
+    assert out["hr"].shape == (6, 16, 16, 1)
+    assert np.isfinite(np.asarray(out["lr"])).all()
+
+
+def test_sample_pass1_temporal_triplets_shapes():
+    ds = _synthetic_dataset()
+    tc = pipeline.TileCreator(ds, tile_lr=8)
+    out = tc.sample_pass1(jax.random.PRNGKey(1), batch=4, temporal=True)
+    for k in ("lr", "lr_prev", "lr_next", "hr", "hr_prev", "hr_next"):
+        assert k in out
+    assert out["lr_prev"].shape == out["lr"].shape
+
+
+def test_sample_pass2_shapes():
+    ds = _synthetic_dataset()
+    tc = pipeline.TileCreator(ds, tile_lr=8)
+    out = tc.sample_pass2(jax.random.PRNGKey(2), batch=5)
+    assert out["interm"].shape == (5, 8, 16, 1)
+    assert out["lr_vel"].shape == (5, 8, 16, 3)
+    assert out["hr"].shape == (5, 16, 16, 1)
+
+
+def test_unaugmented_pass1_patch_matches_direct_crop():
+    """With augment off and density threshold 0, LR patches must be exact
+    sub-arrays of the LR volume (integer-aligned gathers)."""
+    ds = _synthetic_dataset()
+    tc = pipeline.TileCreator(ds, tile_lr=8, augment=False, density_threshold=0.0)
+    out = tc.sample_pass1(jax.random.PRNGKey(3), batch=16)
+    lr_np = ds.lr
+    patch = np.asarray(out["lr"][:, :, :, 0])  # density channel
+    # each patch row must appear somewhere in some volume: check via direct
+    # search over all z-slices of all volumes for patch 0
+    p0 = patch[0]
+    found = False
+    for n in range(lr_np.shape[0]):
+        for zz in range(lr_np.shape[1]):
+            sl = lr_np[n, zz, :, :, 0]
+            for oy in range(sl.shape[0] - 8 + 1):
+                for ox in range(sl.shape[1] - 8 + 1):
+                    if np.allclose(sl[oy:oy+8, ox:ox+8], p0, atol=2e-3):
+                        found = True
+                        break
+    assert found, "unaugmented patch not found as a sub-array of any slice"
+
+
+def test_density_rejection_prefers_dense_tiles():
+    """Dataset where one volume is empty: sampled tiles should avoid it."""
+    ds = _synthetic_dataset(n_sims=2, n_frames=1)
+    ds.lr[0] *= 0.0  # volume 0 empty
+    ds.hr[0] *= 0.0
+    tc = pipeline.TileCreator(ds, tile_lr=8, density_threshold=0.01)
+    out = tc.sample_pass1(jax.random.PRNGKey(4), batch=8)
+    means = np.asarray(out["lr"][..., 0].mean(axis=(1, 2)))
+    assert (means > 0.01).all(), means
+
+
+def test_triplet_adjacency_uses_same_location():
+    """prev/center/next patches come from the same spatial window: on a
+    dataset where volume values encode the frame index, patches differ by
+    exactly the frame-value delta."""
+    n_sims, n_frames, s = 1, 5, 2
+    z, y, x = 12, 16, 16
+    lr = np.zeros((n_frames, z, y, x, 4), np.float32)
+    for f in range(n_frames):
+        lr[f, ..., 0] = f + 1.0
+    hr = np.zeros((n_frames, z * s, y * s, x * s, 1), np.float32)
+    ds = FluidDataset(lr=lr, hr=hr, n_sims=n_sims, n_frames=n_frames, up_res=s)
+    tc = pipeline.TileCreator(ds, tile_lr=6, augment=False, density_threshold=0.0)
+    out = tc.sample_pass1(jax.random.PRNGKey(5), batch=4, temporal=True)
+    d = np.asarray(out["lr"][..., 0])
+    dp = np.asarray(out["lr_prev"][..., 0])
+    dn = np.asarray(out["lr_next"][..., 0])
+    np.testing.assert_allclose(d - dp, 1.0, atol=1e-5)
+    np.testing.assert_allclose(dn - d, 1.0, atol=1e-5)
+    assert d.min() >= 2.0 - 1e-5 and d.max() <= 4.0 + 1e-5  # frames 1..F-2
+
+
+def test_pass2_interm_consistent_with_hrz():
+    """Pass-2 input patches equal crops of the z-downsampled HR volume.
+
+    HR is made constant along y so the (HR-lattice) slice-normal
+    interpolation is exact and the match can be checked directly."""
+    rng = np.random.default_rng(7)
+    n_frames, s, z, y, x = 3, 2, 16, 24, 20
+    zx = rng.random((n_frames, z * s, 1, x * s, 1), dtype=np.float32)
+    hr = np.broadcast_to(zx, (n_frames, z * s, y * s, x * s, 1)).copy()
+    lr = rng.random((n_frames, z, y, x, 4), dtype=np.float32)
+    ds = FluidDataset(lr=lr, hr=hr, n_sims=1, n_frames=n_frames, up_res=s)
+    tc = pipeline.TileCreator(ds, tile_lr=8, augment=False, density_threshold=0.0)
+    out = tc.sample_pass2(jax.random.PRNGKey(6), batch=4)
+    hrz = np.asarray(tc.hrz)
+    p0 = np.asarray(out["interm"][0, :, :, 0])  # (t, t·s) in (z, x_hr)
+    found = False
+    for n in range(hrz.shape[0]):
+        sl = hrz[n, :, 0, :, 0]  # (Z, Xs); constant along y
+        for oz in range(sl.shape[0] - 8 + 1):
+            for ox in range(sl.shape[1] - 16 + 1):
+                if np.allclose(sl[oz:oz+8, ox:ox+16], p0, atol=2e-3):
+                    found = True
+    assert found
