@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver runs this on real TPU hardware.
+
+Measures the BASELINE.json primary metric: voxels/sec for full two-pass
+4× super-resolution 64³ → 256³ (pass-1 xy slices + pass-2 z refinement +
+reassembly). ``vs_baseline`` is relative to the north-star rate of one 256³
+frame per second (16,777,216 voxels/s on v5e-8; BASELINE.md).
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "voxels/sec", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mpgan_tpu.infer import assemble
+    from mpgan_tpu.models import generator as G
+    from mpgan_tpu.parallel import mesh as pmesh
+
+    z = y = x = 64
+    up = 4
+    stages = 2
+    dtype = jnp.bfloat16
+
+    g1 = G.make_pass1(stages, base_filters=32, n_res_blocks=2, dtype=dtype)
+    g2 = G.make_pass2(stages, base_filters=32, n_res_blocks=2, dtype=dtype)
+    p1 = g1.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 4)))
+    p2 = g2.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 64, 4)))
+
+    mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
+
+    rng = np.random.default_rng(0)
+    lr = jnp.asarray(rng.random((z, y, x, 4), dtype=np.float32))
+
+    # N chained (data-dependent) upscales inside ONE jit, ending in a scalar
+    # fetch. This is the only reliable timing on this backend:
+    # block_until_ready does not synchronize through the axon tunnel, and a
+    # data-independent loop would be hoisted by XLA. The tiny acc feedback
+    # (±1e-30·acc on the input) forces sequential execution without changing
+    # the numerics.
+    n_iters = 10
+
+    @jax.jit
+    def chained(p1_, p2_, lr_):
+        def body(_, acc):
+            out = assemble.upscale_volume(
+                g1, p1_, g2, p2_, lr_ + acc * 1e-30, up,  mesh=mesh)
+            return acc + jnp.mean(out)
+        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+
+    float(chained(p1, p2, lr))  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(p1, p2, lr))  # scalar fetch = true sync
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) / n_iters
+
+    voxels = (z * up) * (y * up) * (x * up)
+    rate = voxels / dt
+    baseline = float(voxels)  # north-star: one 256³ frame per second
+    print(json.dumps({
+        "metric": "voxels/sec at 4x SR 64^3->256^3 (two-pass, incl. reassembly)",
+        "value": round(rate, 1),
+        "unit": "voxels/sec",
+        "vs_baseline": round(rate / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Full-volume two-pass inference + slice reassembly (SURVEY.md §3.3).
+
+The BASELINE.json benchmark path: LR volume (Z, Y, X, C) →
+  pass 1: all z-slices (xy planes) through G1 as one batch → intermediate
+          volume (Z, Y·s, X·s, 1);
+  pass 2: all y-slices (xz planes) of the intermediate volume + upsampled LR
+          velocity through G2 → final (Z·s, Y·s, X·s, 1).
+
+The slice axis is the data-parallel axis (SURVEY.md §2.14): slice batches are
+sharded over the mesh's 'data' axis; per-slice 2D convs need no halo
+exchange, and reassembly is a transpose on the sharded array. Slice batches
+are chunked (``slice_chunk``) to bound HBM at large volumes.
+
+Channel layouts match the training pipeline (mpgan_tpu.data.pipeline):
+xy slices use [d, vx, vy, vz]; xz slices use [d, vx, vz, vy].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpgan_tpu.parallel import mesh as pmesh
+
+
+def _pad_batch(x: jnp.ndarray, multiple: int) -> tuple[jnp.ndarray, int]:
+    n = x.shape[0]
+    m = pmesh.pad_to_multiple(n, multiple)
+    if m != n:
+        pad = [(0, m - n)] + [(0, 0)] * (x.ndim - 1)
+        x = jnp.pad(x, pad)
+    return x, n
+
+
+def apply_sliced(apply_fn, slices: jnp.ndarray, chunk: int = 0,
+                 mesh=None) -> jnp.ndarray:
+    """Run a per-slice model over a (N, H, W, C) slice stack.
+
+    chunk = 0 → one batch (fastest; bounded by HBM); otherwise fixed-size
+    chunks via lax.map (single compile, static shapes).
+    """
+    n_dev = mesh.devices.size if mesh is not None else 1
+    if chunk <= 0:
+        x, n = _pad_batch(slices, n_dev)
+        x = pmesh.constrain_batch(x, mesh)
+        return apply_fn(x)[:n]
+    chunk = pmesh.pad_to_multiple(chunk, n_dev)
+    x, n = _pad_batch(slices, chunk)
+    x = x.reshape(x.shape[0] // chunk, chunk, *x.shape[1:])
+    out = jax.lax.map(lambda c: apply_fn(pmesh.constrain_batch(c, mesh)), x)
+    return out.reshape(-1, *out.shape[2:])[:n]
+
+
+def pass1_volume(gen1, params1, lr_vol: jnp.ndarray, stage: int | None = None,
+                 chunk: int = 0, mesh=None) -> jnp.ndarray:
+    """(Z, Y, X, C) → intermediate (Z, Y·s, X·s, 1) via xy slices."""
+    fn = partial(gen1.apply, params1, stage=stage)
+    return apply_sliced(fn, lr_vol, chunk=chunk, mesh=mesh)
+
+
+def pass2_volume(gen2, params2, interm: jnp.ndarray,
+                 lr_vel: jnp.ndarray | None, up_res: int,
+                 stage: int | None = None, chunk: int = 0,
+                 mesh=None) -> jnp.ndarray:
+    """Intermediate (Z, Ys, Xs, 1) [+ LR velocity (Z, Y, X, 3)] →
+    final (Z·s, Ys, Xs, 1) via xz slices (z-axis refinement)."""
+    z, ys, xs, _ = interm.shape
+    if lr_vel is not None:
+        # velocity on the intermediate grid, channels permuted for the xz
+        # plane: [vx, vz, vy] (w=x, h=z, out=y); values stay in LR units,
+        # matching the training pipeline's gather
+        vel = jax.image.resize(lr_vel, (z, ys, xs, 3), method="linear")
+        vel = vel[..., jnp.asarray([0, 2, 1])]
+        vol_in = jnp.concatenate([interm, vel], axis=-1)
+    else:
+        vol_in = interm
+    # slices over y: (Ys, Z, Xs, C)
+    slices = jnp.transpose(vol_in, (1, 0, 2, 3))
+    fn = partial(gen2.apply, params2, stage=stage)
+    out = apply_sliced(fn, slices, chunk=chunk, mesh=mesh)  # (Ys, Zs, Xs, 1)
+    return jnp.transpose(out, (1, 0, 2, 3))
+
+
+def upscale_volume(gen1, params1, gen2, params2, lr_vol: jnp.ndarray,
+                   up_res: int, stage: int | None = None, chunk: int = 0,
+                   mesh=None) -> jnp.ndarray:
+    """Full two-pass SR: (Z, Y, X, C) LR → (Z·s, Y·s, X·s, 1) HR density.
+
+    lr_vol channels [d, vx, vy, vz] (or density-only). gen2=None → pass-1
+    only with nearest z-upsample (degenerate single-pass mode).
+    """
+    interm = pass1_volume(gen1, params1, lr_vol, stage=stage, chunk=chunk,
+                          mesh=mesh)
+    if gen2 is None:
+        return jnp.repeat(interm, up_res, axis=0)
+    lr_vel = lr_vol[..., 1:4] if lr_vol.shape[-1] >= 4 else None
+    return pass2_volume(gen2, params2, interm, lr_vel, up_res, stage=stage,
+                        chunk=chunk, mesh=mesh)
+
+
+def make_jitted_upscaler(gen1, params1, gen2, params2, up_res: int,
+                         stage: int | None = None, chunk: int = 0, mesh=None):
+    """jit-wrapped upscale_volume with params baked as traced args."""
+    @jax.jit
+    def fn(p1, p2, lr_vol):
+        return upscale_volume(gen1, p1, gen2, p2, lr_vol, up_res,
+                              stage=stage, chunk=chunk, mesh=mesh)
+    return lambda lr_vol: fn(params1, params2, lr_vol)
+
+
+def psnr_volume(fake: np.ndarray, real: np.ndarray, peak: float = 1.0) -> float:
+    mse = float(np.mean((np.asarray(fake) - np.asarray(real)) ** 2))
+    return float(10.0 * np.log10(peak ** 2 / max(mse, 1e-12)))

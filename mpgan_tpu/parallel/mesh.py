@@ -1,0 +1,64 @@
+"""Device mesh + sharding helpers (SURVEY.md §2.14/§2.15).
+
+The reference is single-GPU; parallelism here is first-class:
+- DP: the training patch batch / inference slice batch is sharded over the
+  'data' axis of a 1-D mesh spanning all chips (v5e-8 ICI); gradients are
+  reduced by XLA-inserted collectives (psum over ICI).
+- The z-slice axis of a volume is the sequence-parallel analog: per-slice 2D
+  convs need no halo exchange, so full-volume inference shards slices the
+  same way (see mpgan_tpu.infer).
+
+Multi-host would extend the same mesh over DCN via jax.distributed; the
+helpers below are host-count-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over all (or the first n) devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding for batches / slice stacks."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(tree: Any, mesh: Mesh) -> Any:
+    """Place every array in ``tree`` with its leading axis over DATA_AXIS."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def constrain_batch(tree: Any, mesh: Mesh | None) -> Any:
+    """Inside-jit hint: shard leading axes over DATA_AXIS (no-op if no mesh)."""
+    if mesh is None:
+        return tree
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, sh), tree)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

@@ -1,0 +1,110 @@
+"""Checkpoint / resume (SURVEY.md §5 'Checkpoint / resume').
+
+The reference saves ``tf.train.Saver`` checkpoints every ``saveInterval`` into
+run dirs ``test_%04d/`` and restores via ``load_model_test`` (run index) +
+``load_model_no`` (checkpoint number). We keep that directory/CLI contract but
+store orbax checkpoints of the full train state (params + optimizer moments +
+step) plus a JSON sidecar with the growing stage and config snapshot, so a
+crash resumes exactly (SURVEY.md §5 'Failure detection').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def next_run_dir(base: str) -> str:
+    """Create and return the next free ``test_%04d`` run dir under base."""
+    os.makedirs(base, exist_ok=True)
+    existing = [int(m.group(1)) for d in os.listdir(base)
+                if (m := re.fullmatch(r"test_(\d{4})", d))]
+    idx = max(existing, default=-1) + 1
+    path = os.path.join(base, f"test_{idx:04d}")
+    os.makedirs(path)
+    return path
+
+
+def run_dir(base: str, index: int) -> str:
+    return os.path.join(base, f"test_{index:04d}")
+
+
+def model_dir(run: str, no: int) -> str:
+    return os.path.join(run, f"model_{no:04d}")
+
+
+def save(run: str, no: int, state: Any, meta: dict) -> str:
+    """Save train state + metadata as checkpoint ``model_%04d``."""
+    path = os.path.abspath(model_dir(run, no))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.tree.map(np.asarray, _as_pytree(state)))
+    ckptr.wait_until_finished()
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=1)
+    return path
+
+
+def restore(run: str, no: int, template: Any) -> tuple[Any, dict]:
+    """Restore (state, meta). ``template`` is a matching state pytree
+    (e.g. a freshly initialized TrainState) defining structure/shapes."""
+    path = os.path.abspath(model_dir(run, no))
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, _as_pytree(template))
+    tree = ckptr.restore(path, abstract)
+    meta = {}
+    if os.path.exists(path + ".json"):
+        meta = json.load(open(path + ".json"))
+    return _from_pytree(tree, template), meta
+
+
+def latest_model_no(run: str) -> int | None:
+    if not os.path.isdir(run):
+        return None
+    nos = [int(m.group(1)) for d in os.listdir(run)
+           if (m := re.fullmatch(r"model_(\d{4})", d))]
+    return max(nos, default=None)
+
+
+def save_gen(run: str, no: int, params_g: Any) -> str:
+    """Generator-only checkpoint ``gen_%04d`` (cheap inference restore)."""
+    path = os.path.abspath(os.path.join(run, f"gen_{no:04d}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.tree.map(np.asarray, params_g))
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_gen(run: str, no: int, template_params: Any) -> Any:
+    path = os.path.abspath(os.path.join(run, f"gen_{no:04d}"))
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template_params)
+    return ckptr.restore(path, abstract)
+
+
+def save_param_log(run: str, cfg: Any, argv: list[str] | None = None) -> None:
+    """Reference-style param log copied into the run dir."""
+    with open(os.path.join(run, "params.json"), "w") as f:
+        json.dump({
+            "argv": argv or [],
+            "config": dataclasses.asdict(cfg),
+        }, f, indent=1, default=str)
+
+
+def _as_pytree(state: Any) -> Any:
+    # NamedTuple → dict so orbax stores stable field names
+    if hasattr(state, "_asdict"):
+        return dict(state._asdict())
+    return state
+
+
+def _from_pytree(tree: Any, template: Any) -> Any:
+    if hasattr(template, "_asdict") and isinstance(tree, dict):
+        return type(template)(**tree)
+    return tree

@@ -1,0 +1,377 @@
+"""Training driver (SURVEY.md §2.11/§3.1, rebuilt TPU-first).
+
+One fused, jitted ``train_step`` does everything the reference's per-iteration
+host loop did across multiple ``sess.run`` calls: sample + augment a batch
+on-device (TileCreator), update Ds (and Dt), then update G — no host↔device
+feed_dict boundary in the hot loop. The train state is donated, so parameters
+and optimizer moments update in place in HBM.
+
+Progressive growing (SURVEY.md §2.9): the host loop asks GrowthSchedule for
+(stage, α) each iteration; at a stage boundary the models are re-jitted at the
+new stage and parameters are merged forward (growing.migrate_params) — no
+TF1-style graph surgery. α is a traced scalar, so fading costs no recompiles
+(two programs per stage: fade and stable).
+
+Parallelism: batch-leading-axis DP over the mesh's 'data' axis; XLA inserts
+the gradient psum over ICI (SURVEY.md §2.14).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mpgan_tpu.config import Config
+from mpgan_tpu.data.pipeline import TileCreator
+from mpgan_tpu.models import discriminator as D
+from mpgan_tpu.models import generator as G
+from mpgan_tpu.models import growing
+from mpgan_tpu.parallel import mesh as pmesh
+from mpgan_tpu.train import losses
+
+
+class TrainState(NamedTuple):
+    params_g: Any
+    opt_g: Any
+    params_ds: Any
+    opt_ds: Any
+    params_dt: Any      # empty dict when temporal disc is off
+    opt_dt: Any
+    step: jnp.ndarray   # int32 scalar
+
+
+@dataclass
+class StageRuntime:
+    """Models + jitted step for one growth stage."""
+    stage: int
+    gen: G.Generator
+    ds: D.Discriminator
+    dt: D.Discriminator | None
+    step_fade: Callable
+    step_stable: Callable
+    state: TrainState
+
+
+def _g_input(batch: dict, pass_no: int) -> jnp.ndarray:
+    if pass_no == 1:
+        return batch["lr"]
+    parts = [batch["interm"]]
+    if "lr_vel" in batch:
+        parts.append(batch["lr_vel"])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _g_input_shifted(batch: dict, pass_no: int, which: str) -> jnp.ndarray:
+    if pass_no == 1:
+        return batch[f"lr_{which}"]
+    parts = [batch[f"interm_{which}"]]
+    if f"lr_vel_{which}" in batch:
+        parts.append(batch[f"lr_vel_{which}"])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
+                    ds: D.Discriminator, dt: D.Discriminator | None,
+                    stage: int, fade: bool, pass_no: int,
+                    mesh=None) -> Callable:
+    """Build the fused jitted train step for one (stage, fade) program.
+
+    Returns step(state, key, alpha) → (state, metrics). ``alpha`` is traced.
+    """
+    lcfg = cfg.loss
+    temporal = dt is not None
+    batch_size = cfg.train.batch_size
+    s_in = 2 ** stage                     # growth factor at this stage
+    s_full = tc.up_res                    # dataset's full SR factor
+    n_stages_full = len(gen.factors)
+    # Ds conditioning upsample factors (per-axis) for this pass
+    cond_f = (s_in, s_in) if pass_no == 1 else (s_in, 1)
+    # velocity: spatial resize of the (input-grid) field to the output grid,
+    # and unit conversion LR cells → output-grid pixels per axis
+    vel_resize = (s_in, s_in) if pass_no == 1 else (s_in, 1)
+    unit_h = s_in
+    unit_w = s_in if pass_no == 1 else s_full  # pass-2 w axis is already HR
+
+    def _stage_targets(b: dict) -> dict:
+        """Downsample HR targets when training an intermediate growth stage."""
+        if stage == n_stages_full:
+            return b
+        out = dict(b)
+        for k in ("hr", "hr_prev", "hr_next"):
+            if k in b:
+                n, h, w, c = b[k].shape
+                if pass_no == 1:
+                    new = (n, h * s_in // s_full, w * s_in // s_full, c)
+                else:  # z (h) axis only; w already matches
+                    new = (n, h * s_in // s_full, w, c)
+                out[k] = jax.image.resize(b[k], new, method="linear")
+        return out
+
+    opt_g = optax.adam(cfg.train.learning_rate, b1=cfg.train.beta1,
+                       eps=cfg.train.adam_eps)
+    opt_d = optax.adam(cfg.train.learning_rate, b1=cfg.train.beta1,
+                       eps=cfg.train.adam_eps)
+
+    def sample(key):
+        if pass_no == 1:
+            b = tc.sample_pass1(key, batch_size, temporal=temporal)
+        else:
+            b = tc.sample_pass2(key, batch_size, temporal=temporal)
+        return pmesh.constrain_batch(_stage_targets(b), mesh)
+
+    def gen_apply(p, x, alpha):
+        return gen.apply(p, x, stage=stage, alpha=alpha, fade=fade)
+
+    def ds_apply(p, x, alpha, feats=False):
+        return ds.apply(p, x, stage=stage, alpha=alpha, fade=fade,
+                        return_features=feats)
+
+    def dt_apply(p, x, alpha):
+        return dt.apply(p, x, stage=stage, alpha=alpha, fade=fade)
+
+    def aligned_fakes(p_g, batch, alpha):
+        """G on (prev, cur, next) inputs, advected to center time."""
+        f_prev = gen_apply(p_g, _g_input_shifted(batch, pass_no, "prev"), alpha)
+        f_cur = gen_apply(p_g, _g_input(batch, pass_no), alpha)
+        f_next = gen_apply(p_g, _g_input_shifted(batch, pass_no, "next"), alpha)
+        vel = _vel_hr(batch)
+        return losses.align_triplet(f_prev, f_cur, f_next, vel)
+
+    def aligned_reals(batch):
+        vel = _vel_hr(batch)
+        return losses.align_triplet(batch["hr_prev"], batch["hr"],
+                                    batch["hr_next"], vel)
+
+    def _vel_hr(batch):
+        if pass_no == 1:
+            v = batch["lr"][..., 1:3]       # (v_w, v_h) in LR units
+        else:
+            v = batch["lr_vel"][..., 0:2]
+        b, h, w, _ = v.shape
+        fh, fw = vel_resize
+        v = jax.image.resize(v, (b, h * fh, w * fw, 2), method="linear")
+        return v * jnp.asarray([unit_w, unit_h], dtype=v.dtype)
+
+    def d_losses(p_ds, p_dt, p_g, batch, alpha):
+        x_in = _g_input(batch, pass_no)
+        fake = jax.lax.stop_gradient(gen_apply(p_g, x_in, alpha))
+        real_in = D.condition_ds_input(x_in, batch["hr"], *cond_f)
+        fake_in = D.condition_ds_input(x_in, fake, *cond_f)
+        loss_ds = losses.d_loss(ds_apply(p_ds, real_in, alpha),
+                                ds_apply(p_ds, fake_in, alpha))
+        loss_dt = 0.0
+        if temporal:
+            trip_fake = jax.lax.stop_gradient(aligned_fakes(p_g, batch, alpha))
+            trip_real = aligned_reals(batch)
+            loss_dt = losses.d_loss(dt_apply(p_dt, trip_real, alpha),
+                                    dt_apply(p_dt, trip_fake, alpha))
+        return loss_ds, loss_dt
+
+    def g_loss(p_g, p_ds, p_dt, batch, alpha):
+        x_in = _g_input(batch, pass_no)
+        fake = gen_apply(p_g, x_in, alpha)
+        fake_in = D.condition_ds_input(x_in, fake, *cond_f)
+        real_in = D.condition_ds_input(x_in, batch["hr"], *cond_f)
+        fake_logits, feats_fake = ds_apply(p_ds, fake_in, alpha, feats=True)
+        _, feats_real = ds_apply(p_ds, real_in, alpha, feats=True)
+        feats_real = jax.lax.stop_gradient(feats_real)
+
+        l_adv = losses.g_adv_loss(fake_logits)
+        l_l1 = losses.l1_loss(fake, batch["hr"])
+        l_f = losses.feature_loss(feats_real, feats_fake)
+        l_t = 0.0
+        if temporal:
+            trip_fake = aligned_fakes(p_g, batch, alpha)
+            l_t = losses.g_adv_loss(dt_apply(p_dt, trip_fake, alpha))
+        total = (lcfg.lambda_adv * l_adv + lcfg.lambda_l1 * l_l1
+                 + lcfg.lambda_f * l_f + lcfg.lambda_t * l_t)
+        aux = dict(g_adv=l_adv, l1=l_l1, feat=l_f, g_t=l_t,
+                   psnr=losses.psnr(fake, batch["hr"]))
+        return total, aux
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, key, alpha):
+        kd, kg = jax.random.split(key)
+
+        # --- discriminator update (fresh batch, like the reference's discRuns)
+        batch_d = sample(kd)
+
+        def ds_obj(p_ds):
+            l_ds, _ = d_losses(p_ds, state.params_dt, state.params_g,
+                               batch_d, alpha)
+            return l_ds
+        loss_ds, grads_ds = jax.value_and_grad(ds_obj)(state.params_ds)
+        upd, opt_ds_state = opt_d.update(grads_ds, state.opt_ds, state.params_ds)
+        params_ds = optax.apply_updates(state.params_ds, upd)
+
+        params_dt, opt_dt_state, loss_dt = state.params_dt, state.opt_dt, 0.0
+        if temporal:
+            def dt_obj(p_dt):
+                _, l_dt = d_losses(params_ds, p_dt, state.params_g,
+                                   batch_d, alpha)
+                return l_dt
+            loss_dt, grads_dt = jax.value_and_grad(dt_obj)(state.params_dt)
+            upd, opt_dt_state = opt_d.update(grads_dt, state.opt_dt,
+                                             state.params_dt)
+            params_dt = optax.apply_updates(state.params_dt, upd)
+
+        # --- generator update (fresh batch)
+        batch_g = sample(kg)
+        (loss_g, aux), grads_g = jax.value_and_grad(
+            g_loss, has_aux=True)(state.params_g, params_ds, params_dt,
+                                  batch_g, alpha)
+        upd, opt_g_state = opt_g.update(grads_g, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, upd)
+
+        metrics = dict(d_loss=loss_ds, dt_loss=loss_dt, g_loss=loss_g, **aux)
+        new_state = TrainState(params_g, opt_g_state, params_ds, opt_ds_state,
+                               params_dt, opt_dt_state, state.step + 1)
+        return new_state, metrics
+
+    return step
+
+
+class Trainer:
+    """Host-side driver: growth schedule, stage rebuilds, metrics, previews."""
+
+    def __init__(self, cfg: Config, tc: TileCreator, mesh=None,
+                 pass_no: int | None = None):
+        self.cfg = cfg
+        self.tc = tc
+        self.mesh = mesh
+        self.pass_no = pass_no if pass_no is not None else (
+            1 if cfg.train.first_gen_run else 2)
+        self.n_stages = cfg.model.stages
+        if cfg.train.use_growing:
+            self.schedule = growing.GrowthSchedule(
+                self.n_stages, cfg.train.alpha_iters, cfg.train.stable_iters)
+        else:
+            self.schedule = None
+        self.rt: StageRuntime | None = None
+        self.metrics_log: list[dict] = []
+
+    # ---------------------------------------------------------------- build
+
+    def _make_models(self, stage: int):
+        mcfg = self.cfg.model
+        dtype = jnp.bfloat16 if mcfg.dtype == "bfloat16" else jnp.float32
+        if self.pass_no == 1:
+            gen = G.make_pass1(self.n_stages, mcfg.n_base_filters,
+                               mcfg.n_res_blocks, dtype=dtype)
+            dfac = tuple((2, 2) for _ in range(self.n_stages))
+        else:
+            gen = G.make_pass2(self.n_stages, mcfg.n_base_filters,
+                               mcfg.n_res_blocks, dtype=dtype)
+            dfac = tuple((2, 1) for _ in range(self.n_stages))
+        ds = D.make_spatial(self.n_stages, mcfg.disc_base_filters,
+                            factors=dfac, dtype=dtype)
+        dt = None
+        if self.cfg.train.use_temporal_disc:
+            dt = D.make_temporal(self.n_stages, mcfg.disc_base_filters,
+                                 factors=dfac, dtype=dtype)
+        return gen, ds, dt
+
+    def _example_inputs(self, stage: int):
+        t = self.cfg.data.tile_size_low
+        s = 2 ** stage
+        n_vel = 3 if self.cfg.data.use_velocities else 0
+        if self.pass_no == 1:
+            c_in = 1 + n_vel
+            x = jnp.zeros((1, t, t, c_in))
+            cond = jnp.zeros((1, t * s, t * s, c_in + 1))
+        else:
+            c_in = 1 + n_vel
+            x = jnp.zeros((1, t, t * self.tc.up_res, c_in))
+            cond = jnp.zeros((1, t * s, t * self.tc.up_res, c_in + 1))
+        trip = jnp.zeros(cond.shape[:3] + (3,))
+        return x, cond, trip
+
+    def _init_stage(self, stage: int, key, prev: StageRuntime | None):
+        gen, ds, dt = self._make_models(stage)
+        kg, ks, kt = jax.random.split(key, 3)
+        x, cond, trip = self._example_inputs(stage)
+        params_g = gen.init(kg, x, stage=stage)
+        params_ds = ds.init(ks, cond, stage=stage)
+        params_dt = dt.init(kt, trip, stage=stage) if dt is not None else {}
+
+        if prev is not None:  # grow: carry learned weights forward
+            params_g = growing.migrate_params(prev.state.params_g, params_g)
+            old_ds = {"params": {k: v for k, v in
+                                 prev.state.params_ds["params"].items()
+                                 if k != "out"}}
+            params_ds = growing.migrate_params(old_ds, params_ds)
+            if dt is not None and prev.state.params_dt:
+                old_dt = {"params": {k: v for k, v in
+                                     prev.state.params_dt["params"].items()
+                                     if k != "out"}}
+                params_dt = growing.migrate_params(old_dt, params_dt)
+
+        opt_g = optax.adam(self.cfg.train.learning_rate,
+                           b1=self.cfg.train.beta1, eps=self.cfg.train.adam_eps)
+        opt_d = optax.adam(self.cfg.train.learning_rate,
+                           b1=self.cfg.train.beta1, eps=self.cfg.train.adam_eps)
+        state = TrainState(
+            params_g=params_g, opt_g=opt_g.init(params_g),
+            params_ds=params_ds, opt_ds=opt_d.init(params_ds),
+            params_dt=params_dt,
+            opt_dt=opt_d.init(params_dt) if dt is not None else {},
+            step=prev.state.step if prev is not None else jnp.zeros((), jnp.int32),
+        )
+        if self.mesh is not None:
+            state = pmesh.replicate(state, self.mesh)
+
+        step_fade = make_train_step(self.cfg, self.tc, gen, ds, dt, stage,
+                                    True, self.pass_no, self.mesh)
+        step_stable = make_train_step(self.cfg, self.tc, gen, ds, dt, stage,
+                                      False, self.pass_no, self.mesh)
+        return StageRuntime(stage, gen, ds, dt, step_fade, step_stable, state)
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, iters: int | None = None, log_every: int | None = None,
+            on_checkpoint: Callable | None = None) -> dict:
+        cfg = self.cfg
+        iters = iters if iters is not None else cfg.train.training_iters
+        log_every = log_every or cfg.train.output_interval
+        key = jax.random.PRNGKey(cfg.train.rand_seed)
+        key, k_init = jax.random.split(key)
+
+        cur_stage = 1 if self.schedule else self.n_stages
+        self.rt = self._init_stage(cur_stage, k_init, None)
+
+        t_start = time.time()
+        last = {}
+        for it in range(iters):
+            if self.schedule:
+                stage, alpha = self.schedule.stage_at(it)
+                if stage != cur_stage:
+                    key, k_new = jax.random.split(key)
+                    self.rt = self._init_stage(stage, k_new, self.rt)
+                    cur_stage = stage
+            else:
+                stage, alpha = self.n_stages, 1.0
+
+            key, k_step = jax.random.split(key)
+            fade = alpha < 1.0 and stage > 1
+            fn = self.rt.step_fade if fade else self.rt.step_stable
+            state, metrics = fn(self.rt.state, k_step, jnp.float32(alpha))
+            self.rt = StageRuntime(self.rt.stage, self.rt.gen, self.rt.ds,
+                                   self.rt.dt, self.rt.step_fade,
+                                   self.rt.step_stable, state)
+
+            if it % log_every == 0 or it == iters - 1:
+                last = {k: float(v) for k, v in metrics.items()}
+                last.update(it=it, stage=stage, alpha=float(alpha),
+                            wall=time.time() - t_start)
+                self.metrics_log.append(last)
+            if on_checkpoint and cfg.train.save_interval and \
+                    it > 0 and it % cfg.train.save_interval == 0:
+                on_checkpoint(self, it)
+        return last

@@ -1,0 +1,77 @@
+"""GAN losses + temporal alignment (SURVEY.md §2.8/§2.10, tempoGAN eq. 5-7).
+
+Total generator loss:
+    L_G = λ_adv·SCE(Ds(cond, G(x)), 1) + λ_t·SCE(Dt(aligned G-triplet), 1)
+        + λ_L1·‖G(x) − y‖₁ + λ_f·Σ_j ‖F_j(real) − F_j(fake)‖²
+
+Discriminators train with sigmoid cross-entropy real→1 / fake→0 (the
+reference's loss family; no WGAN-GP — SURVEY.md §2.8 verify-note).
+
+Temporal alignment (tempoGAN §3.2): neighbors are advected to the center
+frame's time with the center frame's velocity — A(y_{t−1}; +v), y_t,
+A(y_{t+1}; −v) — via the semi-Lagrangian warp, with velocity upsampled to HR
+pixels and rescaled by the SR factor.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mpgan_tpu.ops.warp import advect_2d_batch
+
+
+def bce_logits(logits: jnp.ndarray, target: float) -> jnp.ndarray:
+    """Mean sigmoid cross-entropy against a constant target (0 or 1)."""
+    t = jnp.full_like(logits, target)
+    return jnp.mean(
+        jnp.maximum(logits, 0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def d_loss(real_logits: jnp.ndarray, fake_logits: jnp.ndarray) -> jnp.ndarray:
+    return bce_logits(real_logits, 1.0) + bce_logits(fake_logits, 0.0)
+
+
+def g_adv_loss(fake_logits: jnp.ndarray) -> jnp.ndarray:
+    return bce_logits(fake_logits, 1.0)
+
+
+def l1_loss(fake: jnp.ndarray, real: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(fake - real))
+
+
+def feature_loss(feats_real: list[jnp.ndarray],
+                 feats_fake: list[jnp.ndarray]) -> jnp.ndarray:
+    """Ds feature-space L2 (tempoGAN §3.3)."""
+    total = 0.0
+    for fr, ff in zip(feats_real, feats_fake):
+        total = total + jnp.mean((fr - ff) ** 2)
+    return total
+
+
+def upsample_velocity(vel_lr: jnp.ndarray, fh: int, fw: int) -> jnp.ndarray:
+    """(B, h, w, 2) LR-unit in-plane velocity → HR grid, HR pixel units.
+
+    Channel 0 is the w-component, channel 1 the h-component (pipeline layout
+    [d, v_w, v_h, ...]); each is scaled by its axis's upsample factor.
+    """
+    b, h, w, _ = vel_lr.shape
+    v = jax.image.resize(vel_lr, (b, h * fh, w * fw, 2), method="linear")
+    return v * jnp.asarray([fw, fh], dtype=v.dtype)
+
+
+def align_triplet(prev: jnp.ndarray, cur: jnp.ndarray, nxt: jnp.ndarray,
+                  vel_hr: jnp.ndarray) -> jnp.ndarray:
+    """Advect neighbors to the center time; stack as channels for Dt.
+
+    prev/cur/nxt: (B, H, W, 1) densities; vel_hr: (B, H, W, 2) in HR pixel
+    units, channels (v_w, v_h). Returns (B, H, W, 3).
+    """
+    warped_prev = advect_2d_batch(prev, vel_hr, 1.0)
+    warped_next = advect_2d_batch(nxt, vel_hr, -1.0)
+    return jnp.concatenate([warped_prev, cur, warped_next], axis=-1)
+
+
+def psnr(fake: jnp.ndarray, real: jnp.ndarray, peak: float = 1.0) -> jnp.ndarray:
+    mse = jnp.mean((fake - real) ** 2)
+    return 10.0 * jnp.log10(peak ** 2 / jnp.maximum(mse, 1e-12))

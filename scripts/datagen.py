@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""Data generation entry point — TPU-native stand-in for the reference's
+mantaflow scene scripts (SURVEY.md §2.12):
+
+    python scripts/datagen.py basePath data/ fromSim 1000 toSim 1009 \
+        resHigh 128 upRes 4 frames 120 obstacles 0 randSeed 0
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from mpgan_tpu.utils import params as ph
+
+
+def main(argv=None):
+    if argv is not None:
+        ph.setParams(argv)
+    base = ph.getParam("basePath", "data/")
+    from_sim = int(ph.getParam("fromSim", 1000))
+    to_sim = int(ph.getParam("toSim", from_sim))
+    res_hi = int(ph.getParam("resHigh", 128))
+    up_res = int(ph.getParam("upRes", 4))
+    frames = int(ph.getParam("frames", 120))
+    obstacles = int(ph.getParam("obstacles", 0))  # every Nth sim; 0 = never
+    seed = int(ph.getParam("randSeed", 0))
+    warmup = int(ph.getParam("warmup", 8))
+    ph.checkUnusedParams()
+
+    from mpgan_tpu.solver import datagen
+    import time
+    for i, sim in enumerate(range(from_sim, to_sim + 1)):
+        with_obs = obstacles > 0 and (i % obstacles == obstacles - 1)
+        sim_dir = os.path.join(base, f"sim_{sim:04d}")
+        t0 = time.time()
+        datagen.generate_sim(sim_dir, seed + sim, res_hi, up_res, frames,
+                             warmup=warmup, with_obstacle=with_obs,
+                             save_flags=with_obs)
+        print(f"sim_{sim:04d}: {frames} frames @{res_hi}^3 "
+              f"(obstacle={with_obs}) in {time.time()-t0:.1f}s -> {sim_dir}")
+
+
+if __name__ == "__main__":
+    main()

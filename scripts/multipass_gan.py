@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Main entry point — reference-compatible CLI (SURVEY.md §2.1/§3).
+
+Training (first or second pass):
+    python scripts/multipass_gan.py out 0 basePath data/ fromSim 1000 toSim 1009 \
+        upRes 4 tileSizeLow 16 useVelocities 1 trainingIters 10000 batchSize 16 \
+        lrgan 0.0002 firstNN 1 useTempoD 1 randSeed 42
+
+Inference (checkpoint → full 3D volumes):
+    python scripts/multipass_gan.py out 1 basePath data/ fromSim 1000 toSim 1000 \
+        load_model_test 0 load_model_no 4 load_model_test2 1 load_model_no2 4 \
+        outFrameMin 0 outFrameMax 20
+
+Flag names follow the tempoGAN/Multi-pass-GAN conventions; unknown flags abort
+(checkUnusedParams). ``out 1`` + only ``load_model_test`` runs pass-1-only SR
+with nearest z-upsampling; add ``load_model_test2``/``load_model_no2`` for the
+full two-pass path.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from mpgan_tpu import config as cfgmod
+from mpgan_tpu.utils import params as ph
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:]) if argv is None else argv
+    ph.setParams(argv)
+    # inference-only flags, read before from_cli's checkUnusedParams
+    load_test2 = int(ph.getParam("load_model_test2", -1))
+    load_no2 = int(ph.getParam("load_model_no2", -1))
+    cfg = cfgmod.from_cli(None)  # parses the already-installed argv
+
+    import jax
+
+    if cfg.infer.output_only:
+        run_inference(cfg, load_test2, load_no2)
+    else:
+        run_training(cfg, argv)
+
+
+def run_training(cfg, argv):
+    import jax
+    from mpgan_tpu.data.loader import FluidDataLoader
+    from mpgan_tpu.data.pipeline import TileCreator
+    from mpgan_tpu.parallel import mesh as pmesh
+    from mpgan_tpu.train import checkpoint as ckpt
+    from mpgan_tpu.train.loop import Trainer
+
+    ds = FluidDataLoader(cfg.data.base_path, cfg.data.from_sim, cfg.data.to_sim,
+                         cfg.data.frame_min, cfg.data.frame_max,
+                         cfg.data.use_velocities, cfg.data.data_fraction).get()
+    tc = TileCreator(ds, cfg.data.tile_size_low, cfg.data.density_threshold,
+                     cfg.data.augment, cfg.data.rot_mode,
+                     cfg.data.scale_min, cfg.data.scale_max)
+    mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
+    run = ckpt.next_run_dir(cfg.train.test_path)
+    ckpt.save_param_log(run, cfg, argv)
+    print(f"run dir: {run}; devices: {len(jax.devices())} "
+          f"({jax.default_backend()}); pass {'1' if cfg.train.first_gen_run else '2'}")
+
+    def on_checkpoint(trainer, it):
+        no = it // cfg.train.save_interval
+        meta = dict(it=it, stage=trainer.rt.stage,
+                    pass_no=trainer.pass_no, up_res=tc.up_res)
+        ckpt.save(run, no, trainer.rt.state, meta)
+        ckpt.save_gen(run, no, trainer.rt.state.params_g)
+        print(f"  saved model_{no:04d} at iter {it}")
+
+    tr = Trainer(cfg, tc, mesh=mesh)
+    last = tr.fit(on_checkpoint=on_checkpoint)
+    # final checkpoint
+    no = (cfg.train.training_iters // max(cfg.train.save_interval, 1)) \
+        if cfg.train.save_interval else 0
+    ckpt.save(run, no, tr.rt.state,
+              dict(it=cfg.train.training_iters, stage=tr.rt.stage,
+                   pass_no=tr.pass_no, up_res=tc.up_res))
+    ckpt.save_gen(run, no, tr.rt.state.params_g)
+    # metrics log
+    import json
+    with open(os.path.join(run, "metrics.jsonl"), "w") as f:
+        for m in tr.metrics_log:
+            f.write(json.dumps(m) + "\n")
+    print(f"done: {last}")
+    return run
+
+
+def _load_gen(cfg, pass_no, run_idx, model_no):
+    """Rebuild the generator of a saved run and restore its params."""
+    import jax.numpy as jnp
+    import jax
+    from mpgan_tpu.models import generator as G
+    from mpgan_tpu.train import checkpoint as ckpt
+
+    run = ckpt.run_dir(cfg.train.test_path, run_idx)
+    if model_no < 0:
+        model_no = ckpt.latest_model_no(run) or 0
+    mcfg = cfg.model
+    dtype = jnp.bfloat16 if mcfg.dtype == "bfloat16" else jnp.float32
+    maker = G.make_pass1 if pass_no == 1 else G.make_pass2
+    gen = maker(mcfg.stages, mcfg.n_base_filters, mcfg.n_res_blocks, dtype=dtype)
+    t = cfg.data.tile_size_low
+    c_in = 4 if cfg.data.use_velocities else 1
+    w = t if pass_no == 1 else t * cfg.data.up_res
+    template = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, t, w, c_in)),
+                        stage=mcfg.stages)
+    params = ckpt.restore_gen(run, model_no, template)
+    return gen, params
+
+
+def run_inference(cfg, load_test2: int, load_no2: int):
+    import jax
+    import jax.numpy as jnp
+    from mpgan_tpu.data import loader
+    from mpgan_tpu.infer import assemble
+    from mpgan_tpu.io import uni
+    from mpgan_tpu.parallel import mesh as pmesh
+    from mpgan_tpu.train import checkpoint as ckpt
+
+    gen1, params1 = _load_gen(cfg, 1, cfg.train.load_model_test,
+                              cfg.train.load_model_no)
+    gen2 = params2 = None
+    if load_test2 >= 0:
+        gen2, params2 = _load_gen(cfg, 2, load_test2, load_no2)
+
+    mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
+    out_dir = ckpt.next_run_dir(cfg.train.test_path)
+    upscale = assemble.make_jitted_upscaler(
+        gen1, params1, gen2, params2, cfg.data.up_res,
+        chunk=cfg.infer.slice_chunk, mesh=mesh)
+
+    for sim in range(cfg.data.from_sim, cfg.data.to_sim + 1):
+        sim_dir = os.path.join(cfg.data.base_path, f"sim_{sim:04d}")
+        for f in range(cfg.infer.frame_min, cfg.infer.frame_max):
+            dpath = os.path.join(sim_dir, loader.LOW_DENSITY % f)
+            if not os.path.exists(dpath):
+                continue
+            _, d = uni.readUni(dpath)
+            chans = [d.astype(np.float32)]
+            if cfg.data.use_velocities:
+                _, v = uni.readUni(os.path.join(sim_dir, loader.LOW_VELOCITY % f))
+                chans.append(v.astype(np.float32))
+            lr = jnp.asarray(np.concatenate(chans, axis=-1))
+            hr = np.asarray(upscale(lr))
+            out = os.path.join(out_dir, f"source_{sim:04d}_{f:04d}.uni")
+            if cfg.infer.write_uni:
+                uni.write_density(out, hr[..., 0])
+            if cfg.infer.write_png:
+                from PIL import Image
+                mid = hr[hr.shape[0] // 2, :, :, 0]
+                img = np.clip(mid[::-1] * 255 / max(mid.max(), 1e-6), 0, 255)
+                Image.fromarray(img.astype(np.uint8)).save(out[:-4] + ".png")
+            print(f"sim {sim} frame {f}: {d.shape[:3]} -> {hr.shape[:3]} -> {out}")
+    print(f"inference outputs in {out_dir}")
+    return out_dir
+
+
+if __name__ == "__main__":
+    main()

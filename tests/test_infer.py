@@ -1,0 +1,108 @@
+"""Inference/assembly + checkpoint tests (SURVEY.md §3.3, §5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpgan_tpu.infer import assemble
+from mpgan_tpu.models import generator as G
+from mpgan_tpu.parallel import mesh as pmesh
+from mpgan_tpu.train import checkpoint as ckpt
+from mpgan_tpu.train.loop import TrainState
+
+
+def _gens(stages=1, seed=0):
+    g1 = G.make_pass1(stages, base_filters=8, n_res_blocks=1)
+    g2 = G.make_pass2(stages, base_filters=8, n_res_blocks=1)
+    p1 = g1.init(jax.random.PRNGKey(seed), jnp.zeros((1, 8, 8, 4)))
+    p2 = g2.init(jax.random.PRNGKey(seed + 1), jnp.zeros((1, 8, 16, 4)))
+    return g1, p1, g2, p2
+
+
+def test_two_pass_volume_shapes():
+    g1, p1, g2, p2 = _gens(stages=1)
+    lr = jnp.asarray(np.random.default_rng(0).random((6, 8, 10, 4), np.float32))
+    out = assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=2)
+    assert out.shape == (12, 16, 20, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pass1_only_mode():
+    g1, p1, _, _ = _gens(stages=1)
+    lr = jnp.zeros((4, 8, 8, 4))
+    out = assemble.upscale_volume(g1, p1, None, None, lr, up_res=2)
+    assert out.shape == (8, 16, 16, 1)
+
+
+def test_chunked_equals_unchunked():
+    g1, p1, g2, p2 = _gens(stages=1)
+    lr = jnp.asarray(np.random.default_rng(1).random((8, 8, 8, 4), np.float32))
+    a = assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=2, chunk=0)
+    b = assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=2, chunk=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_inference_matches_single_device():
+    g1, p1, g2, p2 = _gens(stages=1)
+    lr = jnp.asarray(np.random.default_rng(2).random((6, 8, 8, 4), np.float32))
+    a = assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=2)
+    mesh = pmesh.make_mesh()
+    b = assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=2, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_jitted_upscaler():
+    g1, p1, g2, p2 = _gens(stages=1)
+    up = assemble.make_jitted_upscaler(g1, p1, g2, p2, up_res=2)
+    lr = jnp.zeros((4, 8, 8, 4))
+    out = up(lr)
+    assert out.shape == (8, 16, 16, 1)
+
+
+def test_identity_like_volume_content():
+    """With the global skip, an untrained G ≈ upsampled input: the output
+    must correlate strongly with the linearly-upsampled LR density."""
+    g1, p1, g2, p2 = _gens(stages=1)
+    rng = np.random.default_rng(3)
+    lr = jnp.asarray(rng.random((6, 8, 8, 4), np.float32))
+    out = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=2))
+    ref = np.asarray(jax.image.resize(lr[..., 0:1], (12, 16, 16, 1), "linear"))
+    cc = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert cc > 0.5, cc
+
+
+# ------------------------------------------------------------- checkpoints
+
+def test_checkpoint_roundtrip(tmp_path):
+    g1, p1, _, _ = _gens(stages=1)
+    state = TrainState(params_g=p1, opt_g={"m": jnp.ones((3,))},
+                       params_ds={"params": {"w": jnp.zeros((2, 2))}},
+                       opt_ds={}, params_dt={}, opt_dt={},
+                       step=jnp.asarray(7, jnp.int32))
+    run = ckpt.next_run_dir(str(tmp_path))
+    ckpt.save(run, 0, state, {"stage": 1, "it": 7})
+    template = jax.tree.map(jnp.zeros_like, state)
+    back, meta = ckpt.restore(run, 0, template)
+    assert meta["it"] == 7
+    assert int(back.step) == 7
+    np.testing.assert_array_equal(
+        np.asarray(back.params_g["params"]["stem"]["kernel"]),
+        np.asarray(p1["params"]["stem"]["kernel"]))
+
+
+def test_gen_checkpoint_roundtrip(tmp_path):
+    g1, p1, _, _ = _gens(stages=1)
+    run = ckpt.next_run_dir(str(tmp_path))
+    ckpt.save_gen(run, 3, p1)
+    template = jax.tree.map(jnp.zeros_like, p1)
+    back = ckpt.restore_gen(run, 3, template)
+    np.testing.assert_array_equal(
+        np.asarray(back["params"]["stem"]["kernel"]),
+        np.asarray(p1["params"]["stem"]["kernel"]))
+
+
+def test_run_dir_indexing(tmp_path):
+    r0 = ckpt.next_run_dir(str(tmp_path))
+    r1 = ckpt.next_run_dir(str(tmp_path))
+    assert r0.endswith("test_0000") and r1.endswith("test_0001")
+    assert ckpt.latest_model_no(r0) is None

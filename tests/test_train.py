@@ -1,0 +1,143 @@
+"""Train-loop tests: losses decrease L1, steps run for both passes, temporal
+path, progressive growing transitions, multi-device DP (SURVEY.md §4(4)/(5))."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mpgan_tpu.config import Config, DataConfig, LossConfig, ModelConfig, TrainConfig
+from mpgan_tpu.data.loader import FluidDataset
+from mpgan_tpu.data.pipeline import TileCreator
+from mpgan_tpu.parallel import mesh as pmesh
+from mpgan_tpu.train import losses
+from mpgan_tpu.train.loop import Trainer
+
+
+def _dataset(s=2, seed=0):
+    rng = np.random.default_rng(seed)
+    n_sims, n_frames, z, y, x = 1, 4, 12, 20, 20
+    lr = rng.random((n_sims * n_frames, z, y, x, 4), dtype=np.float32)
+    hr = rng.random((n_sims * n_frames, z * s, y * s, x * s, 1), dtype=np.float32)
+    return FluidDataset(lr=lr, hr=hr, n_sims=n_sims, n_frames=n_frames, up_res=s)
+
+
+def _config(stages=1, temporal=False, growing=False, batch=4, tile=8):
+    return Config(
+        data=DataConfig(tile_size_low=tile, up_res=2 ** stages),
+        model=ModelConfig(n_base_filters=8, n_res_blocks=1,
+                          disc_base_filters=8, stages=stages, dtype="float32"),
+        loss=LossConfig(),
+        train=TrainConfig(batch_size=batch, use_temporal_disc=temporal,
+                          use_growing=growing, alpha_iters=2, stable_iters=2,
+                          training_iters=4, output_interval=2,
+                          save_interval=0),
+    )
+
+
+# ----------------------------------------------------------------- losses
+
+def test_bce_logits_matches_reference_values():
+    logits = jnp.asarray([0.0, 2.0, -2.0])
+    got = float(losses.bce_logits(logits, 1.0))
+    want = float(np.mean(np.log(1 + np.exp(-np.asarray([0.0, 2.0, -2.0])))))
+    assert abs(got - want) < 1e-5
+
+
+def test_align_triplet_static_scene_is_constant():
+    """Zero velocity: aligned triplet = raw stack."""
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.random((2, 16, 16, 1), dtype=np.float32))
+    vel = jnp.zeros((2, 16, 16, 2))
+    out = losses.align_triplet(f, f, f, vel)
+    assert out.shape == (2, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(out[..., 0]), np.asarray(f[..., 0]),
+                               atol=1e-6)
+
+
+def test_align_triplet_compensates_translation():
+    """A scene translating with uniform velocity must align to ~identical
+    channels after warping (interior pixels)."""
+    rng = np.random.default_rng(1)
+    base = rng.random((24, 24), dtype=np.float32)
+    # frame t-1 is base shifted by -v, t is base, t+1 is base shifted by +v
+    v = (3.0, 1.0)  # (vx=w, vy=h) pixels/frame
+    prev = np.roll(base, (-1, -3), axis=(0, 1))
+    nxt = np.roll(base, (1, 3), axis=(0, 1))
+    vel = np.zeros((1, 24, 24, 2), np.float32)
+    vel[..., 0], vel[..., 1] = v[0], v[1]
+    out = np.asarray(losses.align_triplet(
+        jnp.asarray(prev[None, :, :, None]), jnp.asarray(base[None, :, :, None]),
+        jnp.asarray(nxt[None, :, :, None]), jnp.asarray(vel)))
+    inner = np.s_[0, 6:-6, 6:-6]
+    np.testing.assert_allclose(out[inner + (0,)], out[inner + (1,)], atol=1e-3)
+    np.testing.assert_allclose(out[inner + (2,)], out[inner + (1,)], atol=1e-3)
+
+
+# -------------------------------------------------------------- train steps
+
+def test_pass1_training_decreases_l1():
+    ds = _dataset()
+    cfg = _config(stages=1)
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    tr = Trainer(cfg, tc)
+    out = tr.fit(iters=30, log_every=1)
+    first = tr.metrics_log[0]
+    assert np.isfinite(out["g_loss"]) and np.isfinite(out["d_loss"])
+    assert out["l1"] < first["l1"], (first["l1"], out["l1"])
+
+
+def test_pass2_training_runs():
+    ds = _dataset()
+    cfg = _config(stages=1)
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    tr = Trainer(cfg, tc, pass_no=2)
+    out = tr.fit(iters=3, log_every=1)
+    assert np.isfinite(out["g_loss"])
+
+
+def test_temporal_training_runs():
+    ds = _dataset()
+    cfg = _config(stages=1, temporal=True)
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    tr = Trainer(cfg, tc)
+    out = tr.fit(iters=3, log_every=1)
+    assert np.isfinite(out["dt_loss"]) and out["dt_loss"] > 0
+    assert np.isfinite(out["g_t"])
+
+
+def test_progressive_growing_transitions():
+    ds = _dataset(s=4)
+    cfg = _config(stages=2, growing=True)
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    tr = Trainer(cfg, tc)
+    out = tr.fit(iters=8, log_every=1)
+    stages_seen = {m["stage"] for m in tr.metrics_log}
+    assert stages_seen == {1, 2}, stages_seen
+    alphas = [m["alpha"] for m in tr.metrics_log if m["stage"] == 2]
+    assert min(alphas) < 1.0 and max(alphas) == 1.0
+    assert np.isfinite(out["g_loss"])
+
+
+def test_dp_training_on_8_device_mesh():
+    ds = _dataset()
+    cfg = _config(stages=1, batch=8)
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    mesh = pmesh.make_mesh()
+    assert mesh.devices.size == 8
+    tr = Trainer(cfg, tc, mesh=mesh)
+    out = tr.fit(iters=3, log_every=1)
+    assert np.isfinite(out["g_loss"])
+
+
+def test_dp_matches_single_device():
+    """Same seed: 8-device DP and single-device training agree (determinism
+    of the sharded program up to reduction order)."""
+    ds = _dataset()
+    cfg = _config(stages=1, batch=8)
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    tr1 = Trainer(cfg, tc)
+    o1 = tr1.fit(iters=3, log_every=1)
+    tr8 = Trainer(cfg, tc, mesh=pmesh.make_mesh())
+    o8 = tr8.fit(iters=3, log_every=1)
+    assert abs(o1["l1"] - o8["l1"]) < 1e-3, (o1["l1"], o8["l1"])
