@@ -60,6 +60,9 @@ class LossConfig:
     lambda_t: float = 1.0           # kt — temporal adversarial
     lambda_f: float = 1e-5          # kf — Ds feature-space loss
     gan_loss: str = "sce"           # sigmoid cross-entropy (reference default)
+    # temporal-warp backend: "auto" = Pallas kernel on TPU, XLA elsewhere
+    warp_backend: str = "auto"      # auto | pallas | xla
+    warp_max_disp: int = 8          # Pallas warp displacement clamp (HR px)
 
 
 @dataclass
@@ -83,8 +86,9 @@ class TrainConfig:
     use_growing: bool = False
     alpha_iters: int = 2000         # fade-in iterations per new stage
     stable_iters: int = 2000        # post-fade iterations per stage
-    # parallelism
+    # parallelism / dispatch
     data_axis: str = "data"
+    steps_per_dispatch: int = 1   # lax.scan'd steps per device program call
 
 
 @dataclass
@@ -183,6 +187,7 @@ def from_cli(argv: list[str] | None = None) -> Config:
         use_growing=bool(g("useGrowing", 0)),
         alpha_iters=g("alphaIters", TrainConfig.alpha_iters),
         stable_iters=g("stableIters", TrainConfig.stable_iters),
+        steps_per_dispatch=g("stepsPerDispatch", TrainConfig.steps_per_dispatch),
     )
     infer = InferConfig(
         output_only=bool(g("out", 0)),

@@ -187,7 +187,7 @@ def _sample_pass1(lr, hrz, dense_idx, key, batch: int, plane: str,
 
 
 @partial(jax.jit, static_argnames=("batch", "plane", "temporal", "st"))
-def _sample_pass2(lr, hrz, hr, dense_idx, key, batch: int, plane: str,
+def _sample_pass2(lr, interm_src, hr, dense_idx, key, batch: int, plane: str,
                   temporal: bool, st: TCStatic):
     k1, k3 = jax.random.split(key)
     vol, centers = _candidates(k1, batch, plane, dense_idx, st, normal_hr=True)
@@ -197,7 +197,7 @@ def _sample_pass2(lr, hrz, hr, dense_idx, key, batch: int, plane: str,
     def one(v, c, am, ai):
         # input: h = z at LR spacing (t px), w = x at HR spacing (t·s px)
         cin = plane_patch_coords(plane, c, am, t, t * s, 1.0, 1.0 / s)
-        interm = gather_patch(hrz[v], cin, (1.0, float(s), float(s)))
+        interm = gather_patch(interm_src[v], cin, (1.0, float(s), float(s)))
         vel = None
         if st.n_vel:
             lrp = gather_patch(lr[v], cin, (1.0, 1.0, 1.0))
@@ -227,10 +227,19 @@ class TileCreator:
     def __init__(self, dataset: FluidDataset, tile_lr: int,
                  density_threshold: float = 0.002,
                  augment: bool = True, rot_mode: int = 2,
-                 scale_min: float = 0.85, scale_max: float = 1.15):
+                 scale_min: float = 0.85, scale_max: float = 1.15,
+                 interm: jnp.ndarray | None = None):
+        """``interm``: optional (N, Z, Y·s, X·s, 1) volumes to use as the
+        pass-2 *input* source instead of the GT z-downsampled HR — pass the
+        frozen pass-1 generator's outputs here to train G2 on G1 outputs
+        (SURVEY.md §3.2; see mpgan_tpu.infer.assemble.precompute_intermediates)."""
         self.lr = jnp.asarray(dataset.lr)
         self.hr = jnp.asarray(dataset.hr)
         self.hrz = downsample_axis(self.hr, int(dataset.up_res), axis=1)
+        self.interm = jnp.asarray(interm) if interm is not None else self.hrz
+        if self.interm.shape != self.hrz.shape:
+            raise ValueError(f"interm shape {self.interm.shape} != expected "
+                             f"{self.hrz.shape}")
         n_frames = int(dataset.n_frames)
 
         # dense-cell index: pooled (2³) LR density cells above the rejection
@@ -277,5 +286,5 @@ class TileCreator:
                      plane: str = "xz"):
         """Pass-2 batch: {'interm' (B,t,ts,1), 'lr_vel' (B,t,ts,3),
         'hr' (B,ts,ts,1)} [+ prev/next]."""
-        return _sample_pass2(self.lr, self.hrz, self.hr, self._idx(temporal),
+        return _sample_pass2(self.lr, self.interm, self.hr, self._idx(temporal),
                              key, batch, plane, temporal, self.st)

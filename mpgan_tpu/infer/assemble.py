@@ -111,6 +111,18 @@ def make_jitted_upscaler(gen1, params1, gen2, params2, up_res: int,
     return lambda lr_vol: fn(params1, params2, lr_vol)
 
 
+def precompute_intermediates(gen1, params1, lr_vols: jnp.ndarray,
+                             stage: int | None = None, chunk: int = 0,
+                             mesh=None) -> jnp.ndarray:
+    """Frozen-G1 sweep over a dataset: (N, Z, Y, X, C) LR volumes →
+    (N, Z, Y·s, X·s, 1) intermediate volumes (pass-2 training inputs,
+    SURVEY.md §3.2 — G2 trains on G1 outputs)."""
+    fn = jax.jit(partial(pass1_volume, gen1, params1, stage=stage,
+                         chunk=chunk, mesh=mesh))
+    outs = [fn(lr_vols[i]) for i in range(lr_vols.shape[0])]
+    return jnp.stack(outs)
+
+
 def psnr_volume(fake: np.ndarray, real: np.ndarray, peak: float = 1.0) -> float:
     mse = float(np.mean((np.asarray(fake) - np.asarray(real)) ** 2))
     return float(10.0 * np.log10(peak ** 2 / max(mse, 1e-12)))

@@ -136,18 +136,24 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
     def dt_apply(p, x, alpha):
         return dt.apply(p, x, stage=stage, alpha=alpha, fade=fade)
 
+    use_pallas_warp = (lcfg.warp_backend == "pallas" or
+                       (lcfg.warp_backend == "auto" and
+                        jax.default_backend() == "tpu"))
+
     def aligned_fakes(p_g, batch, alpha):
         """G on (prev, cur, next) inputs, advected to center time."""
         f_prev = gen_apply(p_g, _g_input_shifted(batch, pass_no, "prev"), alpha)
         f_cur = gen_apply(p_g, _g_input(batch, pass_no), alpha)
         f_next = gen_apply(p_g, _g_input_shifted(batch, pass_no, "next"), alpha)
         vel = _vel_hr(batch)
-        return losses.align_triplet(f_prev, f_cur, f_next, vel)
+        return losses.align_triplet(f_prev, f_cur, f_next, vel,
+                                    use_pallas_warp, lcfg.warp_max_disp)
 
     def aligned_reals(batch):
         vel = _vel_hr(batch)
         return losses.align_triplet(batch["hr_prev"], batch["hr"],
-                                    batch["hr_next"], vel)
+                                    batch["hr_next"], vel,
+                                    use_pallas_warp, lcfg.warp_max_disp)
 
     def _vel_hr(batch):
         if pass_no == 1:
@@ -196,8 +202,7 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
                    psnr=losses.psnr(fake, batch["hr"]))
         return total, aux
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, key, alpha):
+    def step_core(state: TrainState, key, alpha):
         kd, kg = jax.random.split(key)
 
         # --- discriminator update (fresh batch, like the reference's discRuns)
@@ -234,6 +239,19 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
         new_state = TrainState(params_g, opt_g_state, params_ds, opt_ds_state,
                                params_dt, opt_dt_state, state.step + 1)
         return new_state, metrics
+
+    # K steps per dispatch: a lax.scan over a vector of per-step alphas.
+    # One device program per (stage, fade, K) amortizes host-dispatch latency
+    # (~33 ms/RPC on the axon tunnel — SURVEY.md §3.1 rebuild consequence).
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, key, alphas):
+        def body(carry, alpha):
+            st, k = carry
+            k, k_step = jax.random.split(k)
+            st, metrics = step_core(st, k_step, alpha)
+            return (st, k), metrics
+        (state, _), ms = jax.lax.scan(body, (state, key), alphas)
+        return state, jax.tree.map(lambda x: x[-1], ms)
 
     return step
 
@@ -346,9 +364,11 @@ class Trainer:
         cur_stage = 1 if self.schedule else self.n_stages
         self.rt = self._init_stage(cur_stage, k_init, None)
 
+        k_disp = max(1, cfg.train.steps_per_dispatch)
         t_start = time.time()
         last = {}
-        for it in range(iters):
+        it = 0
+        while it < iters:
             if self.schedule:
                 stage, alpha = self.schedule.stage_at(it)
                 if stage != cur_stage:
@@ -357,21 +377,45 @@ class Trainer:
                     cur_stage = stage
             else:
                 stage, alpha = self.n_stages, 1.0
+            fade = alpha < 1.0 and stage > 1
+
+            # chunk: up to k_disp steps sharing one (stage, fade) program;
+            # stop at growth boundaries, fade→stable flips, and log points
+            chunk = min(k_disp, iters - it)
+            for j in range(1, chunk):
+                if self.schedule:
+                    s2, a2 = self.schedule.stage_at(it + j)
+                    if s2 != stage or ((a2 < 1.0 and s2 > 1) != fade):
+                        chunk = j
+                        break
+            nxt_log = ((it // log_every) + 1) * log_every
+            chunk = min(chunk, max(nxt_log - it, 1))
+            if cfg.train.save_interval and on_checkpoint:
+                nxt_save = ((it // cfg.train.save_interval) + 1) * \
+                    cfg.train.save_interval
+                chunk = min(chunk, max(nxt_save - it, 1))
+
+            if self.schedule:
+                alphas = jnp.asarray(
+                    [self.schedule.stage_at(it + j)[1] for j in range(chunk)],
+                    jnp.float32)
+            else:
+                alphas = jnp.ones((chunk,), jnp.float32)
 
             key, k_step = jax.random.split(key)
-            fade = alpha < 1.0 and stage > 1
             fn = self.rt.step_fade if fade else self.rt.step_stable
-            state, metrics = fn(self.rt.state, k_step, jnp.float32(alpha))
+            state, metrics = fn(self.rt.state, k_step, alphas)
             self.rt = StageRuntime(self.rt.stage, self.rt.gen, self.rt.ds,
                                    self.rt.dt, self.rt.step_fade,
                                    self.rt.step_stable, state)
+            it += chunk
 
-            if it % log_every == 0 or it == iters - 1:
+            if (it - chunk) // log_every != it // log_every or it >= iters:
                 last = {k: float(v) for k, v in metrics.items()}
-                last.update(it=it, stage=stage, alpha=float(alpha),
+                last.update(it=it - 1, stage=stage, alpha=float(alpha),
                             wall=time.time() - t_start)
                 self.metrics_log.append(last)
             if on_checkpoint and cfg.train.save_interval and \
-                    it > 0 and it % cfg.train.save_interval == 0:
+                    it % cfg.train.save_interval == 0 and it < iters:
                 on_checkpoint(self, it)
         return last

@@ -61,14 +61,24 @@ def upsample_velocity(vel_lr: jnp.ndarray, fh: int, fw: int) -> jnp.ndarray:
 
 
 def align_triplet(prev: jnp.ndarray, cur: jnp.ndarray, nxt: jnp.ndarray,
-                  vel_hr: jnp.ndarray) -> jnp.ndarray:
+                  vel_hr: jnp.ndarray, use_pallas: bool = False,
+                  max_disp: int = 8) -> jnp.ndarray:
     """Advect neighbors to the center time; stack as channels for Dt.
 
     prev/cur/nxt: (B, H, W, 1) densities; vel_hr: (B, H, W, 2) in HR pixel
     units, channels (v_w, v_h). Returns (B, H, W, 3).
+
+    ``use_pallas``: route the warp through the Pallas roll-and-select kernel
+    (5× faster than the XLA gather on v5e; displacement clamped to
+    ±max_disp px — choose max_disp ≥ the dataset's max per-frame HR motion).
     """
-    warped_prev = advect_2d_batch(prev, vel_hr, 1.0)
-    warped_next = advect_2d_batch(nxt, vel_hr, -1.0)
+    if use_pallas:
+        from mpgan_tpu.ops.warp_pallas import advect_2d_fast
+        warped_prev = advect_2d_fast(prev, vel_hr, 1.0, max_disp)
+        warped_next = advect_2d_fast(nxt, vel_hr, -1.0, max_disp)
+    else:
+        warped_prev = advect_2d_batch(prev, vel_hr, 1.0)
+        warped_next = advect_2d_batch(nxt, vel_hr, -1.0)
     return jnp.concatenate([warped_prev, cur, warped_next], axis=-1)
 
 

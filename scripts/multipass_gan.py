@@ -31,21 +31,21 @@ from mpgan_tpu.utils import params as ph
 def main(argv=None):
     argv = list(sys.argv[1:]) if argv is None else argv
     ph.setParams(argv)
-    # inference-only flags, read before from_cli's checkUnusedParams
+    # extra flags, read before from_cli's checkUnusedParams
     load_test2 = int(ph.getParam("load_model_test2", -1))
     load_no2 = int(ph.getParam("load_model_no2", -1))
+    pass2_source = ph.getParam("pass2Source", "gt")  # gt | g1
     cfg = cfgmod.from_cli(None)  # parses the already-installed argv
-
-    import jax
 
     if cfg.infer.output_only:
         run_inference(cfg, load_test2, load_no2)
     else:
-        run_training(cfg, argv)
+        run_training(cfg, argv, pass2_source)
 
 
-def run_training(cfg, argv):
+def run_training(cfg, argv, pass2_source: str = "gt"):
     import jax
+    import jax.numpy as jnp
     from mpgan_tpu.data.loader import FluidDataLoader
     from mpgan_tpu.data.pipeline import TileCreator
     from mpgan_tpu.parallel import mesh as pmesh
@@ -55,9 +55,21 @@ def run_training(cfg, argv):
     ds = FluidDataLoader(cfg.data.base_path, cfg.data.from_sim, cfg.data.to_sim,
                          cfg.data.frame_min, cfg.data.frame_max,
                          cfg.data.use_velocities, cfg.data.data_fraction).get()
+
+    interm = None
+    if not cfg.train.first_gen_run and pass2_source == "g1":
+        # train G2 on frozen-G1 outputs (SURVEY.md §3.2): one inference sweep
+        # over the dataset produces the pass-2 input volumes
+        from mpgan_tpu.infer import assemble
+        gen1, params1 = _load_gen(cfg, 1, cfg.train.load_model_test,
+                                  cfg.train.load_model_no)
+        interm = assemble.precompute_intermediates(gen1, params1,
+                                                   jnp.asarray(ds.lr))
+        print(f"precomputed {interm.shape[0]} G1 intermediate volumes")
+
     tc = TileCreator(ds, cfg.data.tile_size_low, cfg.data.density_threshold,
                      cfg.data.augment, cfg.data.rot_mode,
-                     cfg.data.scale_min, cfg.data.scale_max)
+                     cfg.data.scale_min, cfg.data.scale_max, interm=interm)
     mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
     run = ckpt.next_run_dir(cfg.train.test_path)
     ckpt.save_param_log(run, cfg, argv)

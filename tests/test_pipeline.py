@@ -144,3 +144,23 @@ def test_pass2_interm_consistent_with_hrz():
                 if np.allclose(sl[oz:oz+8, ox:ox+16], p0, atol=2e-3):
                     found = True
     assert found
+
+
+def test_pass2_custom_interm_source():
+    """TileCreator with an explicit interm source uses it for pass-2 inputs."""
+    ds = _synthetic_dataset(s=2)
+    n, z, y, x, _ = ds.lr.shape
+    interm = np.full((n, z, y * 2, x * 2, 1), 0.625, np.float32)
+    tc = pipeline.TileCreator(ds, tile_lr=8, augment=False,
+                              density_threshold=0.0, interm=interm)
+    out = tc.sample_pass2(jax.random.PRNGKey(0), batch=4)
+    np.testing.assert_allclose(np.asarray(out["interm"]), 0.625, atol=1e-5)
+    # HR targets still come from the real HR volume
+    assert float(np.asarray(out["hr"]).std()) > 0.1
+
+
+def test_pass2_interm_shape_mismatch_raises():
+    ds = _synthetic_dataset(s=2)
+    bad = np.zeros((1, 2, 2, 2, 1), np.float32)
+    with pytest.raises(ValueError):
+        pipeline.TileCreator(ds, tile_lr=8, interm=bad)
