@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpgan_tpu.data.loader import FluidDataset
-from mpgan_tpu.ops.augment import sample_transform, transform_vectors
+from mpgan_tpu.ops.augment import (sample_transform, transform_pseudovectors,
+                                   transform_vectors)
 from mpgan_tpu.ops.interp import trilinear_sample
 from mpgan_tpu.ops.resample import downsample_axis
 
@@ -50,6 +51,7 @@ class TCStatic(NamedTuple):
     tile_lr: int
     up_res: int
     n_vel: int
+    n_vort: int
     n_frames: int
     n_vols: int
     augment: bool
@@ -57,6 +59,7 @@ class TCStatic(NamedTuple):
     scale_min: float
     scale_max: float
     dims_zyx: tuple[int, int, int]
+    pool_zyx: tuple[int, int, int]
 
 
 def plane_patch_coords(plane: str, center_zyx: jnp.ndarray, a: jnp.ndarray,
@@ -90,14 +93,22 @@ def gather_patch(vol: jnp.ndarray, coords_lr: jnp.ndarray,
     return trilinear_sample(vol, idx)
 
 
-def _permute_channels(patch: jnp.ndarray, plane: str, n_vel: int) -> jnp.ndarray:
+def _permute_channels(patch: jnp.ndarray, plane: str, n_vel: int,
+                      n_vort: int = 0) -> jnp.ndarray:
+    """Reorder [d, vx, vy, vz(, wx, wy, wz)] → per-plane [d, v_w, v_h, v_out
+    (, w_w, w_h, w_out)]; vorticity channels use the same axis permutation."""
     if n_vel == 0:
         return patch
     perm = _VEL_PERM[plane]
     chans = [patch[..., perm[0]:perm[0] + 1]]
     for c in perm[1:4]:
         chans.append(patch[..., c:c + 1])
-    rest = patch[..., 4:]
+    if n_vort:
+        for c in perm[1:4]:
+            chans.append(patch[..., c + 3:c + 4])
+        rest = patch[..., 7:]
+    else:
+        rest = patch[..., 4:]
     if rest.shape[-1]:
         chans.append(rest)
     return jnp.concatenate(chans, axis=-1)
@@ -128,9 +139,10 @@ def _candidates(key, n: int, plane: str, dense_idx: jnp.ndarray,
     pick = jax.random.randint(kp, (n,), 0, dense_idx.shape[0])
     cells = dense_idx[pick]
     vol = cells[:, 0]
-    # uniform jitter inside the pooled (2³) cell → LR-space float center
-    jitter = jax.random.uniform(kj, (n, 3), minval=0.0, maxval=2.0)
-    raw = cells[:, 1:4].astype(jnp.float32) * 2.0 + jitter
+    # uniform jitter inside the pooled cell → LR-space float center
+    pool = jnp.asarray(st.pool_zyx, jnp.float32)
+    jitter = jax.random.uniform(kj, (n, 3)) * pool
+    raw = cells[:, 1:4].astype(jnp.float32) * pool + jitter
 
     def coord(axis):
         size = dims[axis]
@@ -171,8 +183,10 @@ def _sample_pass1(lr, hrz, dense_idx, key, batch: int, plane: str,
     def one(v, c, am, ai):
         clr = plane_patch_coords(plane, c, am, t, t, 1.0, 1.0)
         lrp = gather_patch(lr[v], clr, (1.0, 1.0, 1.0))
-        lrp = transform_vectors(_permute_channels(lrp, plane, st.n_vel),
-                                ai, st.n_vel)
+        lrp = transform_vectors(
+            _permute_channels(lrp, plane, st.n_vel, st.n_vort), ai, st.n_vel)
+        if st.n_vort:
+            lrp = transform_pseudovectors(lrp, ai, start=4, n=st.n_vort)
         chr_ = plane_patch_coords(plane, c, am, t * s, t * s, 1.0 / s, 1.0 / s)
         hrp = gather_patch(hrz[v], chr_, (1.0, float(s), float(s)))
         return lrp, hrp
@@ -235,19 +249,27 @@ class TileCreator:
         (SURVEY.md §3.2; see mpgan_tpu.infer.assemble.precompute_intermediates)."""
         self.lr = jnp.asarray(dataset.lr)
         self.hr = jnp.asarray(dataset.hr)
-        self.hrz = downsample_axis(self.hr, int(dataset.up_res), axis=1)
+        # pass-1 target: HR downsampled along z only; for 2D data (Z == 1)
+        # there is no z axis to downsample and hrz is the HR itself
+        z_factor = self.hr.shape[1] // self.lr.shape[1]
+        self.hrz = (downsample_axis(self.hr, z_factor, axis=1)
+                    if z_factor > 1 else self.hr)
         self.interm = jnp.asarray(interm) if interm is not None else self.hrz
         if self.interm.shape != self.hrz.shape:
             raise ValueError(f"interm shape {self.interm.shape} != expected "
                              f"{self.hrz.shape}")
         n_frames = int(dataset.n_frames)
 
-        # dense-cell index: pooled (2³) LR density cells above the rejection
-        # threshold, precomputed on host — sampling draws from these directly
+        # dense-cell index: pooled LR density cells above the rejection
+        # threshold, precomputed on host — sampling draws from these directly.
+        # Pool 2 per axis where the axis allows it (Z may be 1 for 2D data).
         d = dataset.lr[..., 0]
-        nz, ny, nx = (d.shape[1] // 2) * 2, (d.shape[2] // 2) * 2, (d.shape[3] // 2) * 2
+        pool = tuple(2 if d.shape[i + 1] >= 2 else 1 for i in range(3))
+        nz, ny, nx = (d.shape[1] // pool[0]) * pool[0], \
+            (d.shape[2] // pool[1]) * pool[1], (d.shape[3] // pool[2]) * pool[2]
         pooled = d[:, :nz, :ny, :nx].reshape(
-            d.shape[0], nz // 2, 2, ny // 2, 2, nx // 2, 2).mean(axis=(2, 4, 6))
+            d.shape[0], nz // pool[0], pool[0], ny // pool[1], pool[1],
+            nx // pool[2], pool[2]).mean(axis=(2, 4, 6))
         dense = np.argwhere(pooled >= density_threshold)
         if dense.shape[0] == 0:  # degenerate (all-empty data): allow anywhere
             dense = np.argwhere(np.ones_like(pooled, dtype=bool))
@@ -262,11 +284,13 @@ class TileCreator:
         self.st = TCStatic(
             tile_lr=int(tile_lr), up_res=int(dataset.up_res),
             n_vel=3 if dataset.use_velocities else 0,
+            n_vort=3 if dataset.use_vorticities else 0,
             n_frames=n_frames, n_vols=int(dataset.lr.shape[0]),
             augment=bool(augment),
             rot_mode=int(rot_mode), scale_min=float(scale_min),
             scale_max=float(scale_max),
             dims_zyx=tuple(int(v) for v in dataset.lr.shape[1:4]),
+            pool_zyx=pool,
         )
 
     @property

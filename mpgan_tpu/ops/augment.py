@@ -88,6 +88,31 @@ def transform_vectors(patch: jnp.ndarray, ainv: jnp.ndarray,
     return jnp.concatenate(out, axis=-1)
 
 
+def transform_pseudovectors(patch: jnp.ndarray, ainv: jnp.ndarray,
+                            start: int, n: int) -> jnp.ndarray:
+    """Transform vorticity-like channels [start : start+n] (pseudo-vectors).
+
+    Under an in-plane linear map M (= ainv), a pseudo-vector transforms as
+    ``ω' = det(M)·M·ω`` for the in-plane components and ``ω'_out = det(M)·ω_out``
+    (reflections flip the sign, rotations co-rotate). Channel order within the
+    group is (ω_w, ω_h[, ω_out]), matching velocity channel conventions.
+    """
+    if n == 0:
+        return patch
+    det = ainv[0, 0] * ainv[1, 1] - ainv[0, 1] * ainv[1, 0]
+    wx = patch[..., start]
+    wy = patch[..., start + 1]
+    wy2 = det * (ainv[0, 0] * wy + ainv[0, 1] * wx)
+    wx2 = det * (ainv[1, 0] * wy + ainv[1, 1] * wx)
+    out = [patch[..., :start], wx2[..., None], wy2[..., None]]
+    if n == 3:
+        out.append(patch[..., start + 2:start + 3] * det)
+        out.append(patch[..., start + 3:])
+    else:
+        out.append(patch[..., start + n:])
+    return jnp.concatenate(out, axis=-1)
+
+
 def _patch_coords(center_yx: jnp.ndarray, tile: int, a: jnp.ndarray,
                   dtype=jnp.float32) -> jnp.ndarray:
     """(tile, tile, 2) source coords for an affine-transformed patch."""

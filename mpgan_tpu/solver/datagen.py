@@ -90,6 +90,58 @@ def generate_sim(sim_dir: str, seed: int, res_hi: int, up_res: int,
                          np.asarray(flags))
 
 
+def generate_sim_2d(sim_dir: str, seed: int, res_hi: int, up_res: int,
+                    frames: int, warmup: int = 8,
+                    with_obstacle: bool = False) -> None:
+    """2D scene (reference ``dataDim 2``): writes (1, Y, X) .uni pairs."""
+    from mpgan_tpu.ops.resample import downsample_2d
+    from mpgan_tpu.solver import smoke2d
+
+    os.makedirs(sim_dir, exist_ok=True)
+    key = jax.random.PRNGKey(seed)
+    solid = None
+    if with_obstacle:
+        solid = smoke2d.disc_mask(res_hi, res_hi, (0.55, 0.5), 0.1)
+    state = smoke2d.init_state(res_hi, res_hi, solid)
+    inflow = smoke2d.disc_mask(res_hi, res_hi, (0.12, 0.5), 0.12)
+    if solid is not None:
+        inflow = inflow * (1.0 - solid)
+    params = smoke.SmokeParams(dt=0.5, buoyancy=2e-2, vorticity_eps=0.1,
+                               jacobi_iters=50, maccormack=True)
+
+    @jax.jit
+    def frame_step(state, t):
+        n = noise.value_noise_3d(jax.random.fold_in(key, t),
+                                 (1, res_hi, res_hi))[0]
+        src = (0.5 + 0.5 * n)[..., None] * inflow
+        return smoke2d.step(state, params, src, inflow)
+
+    @jax.jit
+    def frame_outputs(state):
+        return (downsample_2d(state.density, up_res),
+                downsample_2d(state.velocity, up_res) / up_res)
+
+    t = 0
+    for _ in range(warmup):
+        state = frame_step(state, t)
+        t += 1
+    for f in range(frames):
+        state = frame_step(state, t)
+        t += 1
+        d_lo, v_lo = frame_outputs(state)
+        d_hi = np.asarray(state.density)[None]          # (1, Y, X, 1)
+        v_hi = np.concatenate([np.asarray(state.velocity),
+                               np.zeros_like(np.asarray(state.density))],
+                              axis=-1)[None]            # vz = 0
+        d_lo = np.asarray(d_lo)[None]
+        v_lo = np.concatenate([np.asarray(v_lo),
+                               np.zeros_like(np.asarray(d_lo[0]))], axis=-1)[None]
+        uni.write_density(os.path.join(sim_dir, f"density_high_{f:04d}.uni"), d_hi[..., 0])
+        uni.write_velocity(os.path.join(sim_dir, f"velocity_high_{f:04d}.uni"), v_hi)
+        uni.write_density(os.path.join(sim_dir, f"density_low_{f:04d}.uni"), d_lo[..., 0])
+        uni.write_velocity(os.path.join(sim_dir, f"velocity_low_{f:04d}.uni"), v_lo)
+
+
 def generate_dataset(base_path: str, from_sim: int, to_sim: int, res_hi: int,
                      up_res: int, frames: int, seed: int = 0,
                      obstacles_every: int = 0) -> None:

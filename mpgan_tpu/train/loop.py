@@ -353,21 +353,46 @@ class Trainer:
 
     # ------------------------------------------------------------------ fit
 
+    def restore(self, run_dir: str, model_no: int) -> int:
+        """Resume from an orbax checkpoint: rebuild the saved stage's runtime
+        and load params + optimizer moments. Returns the iteration to resume
+        from (SURVEY.md §5 'Checkpoint / resume')."""
+        from mpgan_tpu.train import checkpoint as ckpt
+        import json
+        import os
+        meta_path = os.path.abspath(ckpt.model_dir(run_dir, model_no)) + ".json"
+        meta = json.load(open(meta_path))
+        stage = int(meta.get("stage", self.n_stages))
+        key = jax.random.PRNGKey(self.cfg.train.rand_seed)
+        self.rt = self._init_stage(stage, key, None)
+        state, _ = ckpt.restore(run_dir, model_no, self.rt.state)
+        if self.mesh is not None:
+            state = pmesh.replicate(state, self.mesh)
+        self.rt = StageRuntime(self.rt.stage, self.rt.gen, self.rt.ds,
+                               self.rt.dt, self.rt.step_fade,
+                               self.rt.step_stable, state)
+        return int(meta.get("it", 0))
+
     def fit(self, iters: int | None = None, log_every: int | None = None,
-            on_checkpoint: Callable | None = None) -> dict:
+            on_checkpoint: Callable | None = None,
+            on_log: Callable | None = None, start_it: int = 0) -> dict:
         cfg = self.cfg
         iters = iters if iters is not None else cfg.train.training_iters
         log_every = log_every or cfg.train.output_interval
         key = jax.random.PRNGKey(cfg.train.rand_seed)
         key, k_init = jax.random.split(key)
+        key = jax.random.fold_in(key, start_it)  # deterministic resume stream
 
-        cur_stage = 1 if self.schedule else self.n_stages
-        self.rt = self._init_stage(cur_stage, k_init, None)
+        if self.rt is None:  # fresh start (restore() may have built it)
+            cur_stage = (self.schedule.stage_at(start_it)[0] if self.schedule
+                         else self.n_stages)
+            self.rt = self._init_stage(cur_stage, k_init, None)
+        cur_stage = self.rt.stage
 
         k_disp = max(1, cfg.train.steps_per_dispatch)
         t_start = time.time()
         last = {}
-        it = 0
+        it = start_it
         while it < iters:
             if self.schedule:
                 stage, alpha = self.schedule.stage_at(it)
@@ -415,6 +440,8 @@ class Trainer:
                 last.update(it=it - 1, stage=stage, alpha=float(alpha),
                             wall=time.time() - t_start)
                 self.metrics_log.append(last)
+                if on_log:
+                    on_log(self, last)
             if on_checkpoint and cfg.train.save_interval and \
                     it % cfg.train.save_interval == 0 and it < iters:
                 on_checkpoint(self, it)

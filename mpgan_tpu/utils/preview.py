@@ -1,0 +1,80 @@
+"""Training previews + structured metrics (SURVEY.md §5 'Metrics / logging').
+
+The reference dumps PNG slice previews and TensorBoard scalars every
+``outputInterval``; here: a [input | generated | target] patch grid PNG and a
+metrics CSV/JSONL appender.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+
+import numpy as np
+
+
+def _norm(img: np.ndarray, peak: float | None = None) -> np.ndarray:
+    peak = peak if peak else max(float(img.max()), 1e-6)
+    return np.clip(img * 255.0 / peak, 0, 255).astype(np.uint8)
+
+
+def save_patch_grid(path: str, columns: list[np.ndarray],
+                    max_rows: int = 4) -> None:
+    """Save a grid PNG: one column per array (B, H, W, 1), one row per batch
+    element (first ``max_rows``). Columns are up-scaled (nearest) to the
+    tallest column's resolution so LR inputs are visually comparable."""
+    from PIL import Image
+
+    cols = [np.asarray(c)[..., 0] for c in columns]
+    n = min(max_rows, min(c.shape[0] for c in cols))
+    hmax = max(c.shape[1] for c in cols)
+    peak = max(float(c.max()) for c in cols)
+
+    tiles = []
+    for i in range(n):
+        row = []
+        for c in cols:
+            img = c[i]
+            fh, fw = hmax // img.shape[0], hmax // img.shape[1]
+            if fh > 1 or fw > 1:
+                img = np.repeat(np.repeat(img, max(fh, 1), 0), max(fw, 1), 1)
+            row.append(_norm(img[::-1], peak))  # y-up
+        tiles.append(np.concatenate(row, axis=1))
+    grid = np.concatenate(tiles, axis=0)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(grid).save(path)
+
+
+def save_volume_slices(path: str, vol: np.ndarray, axis: int = 2) -> None:
+    """Mid-slice preview of a (Z, Y, X, 1) volume along ``axis``."""
+    from PIL import Image
+    v = np.asarray(vol)[..., 0]
+    sl = np.take(v, v.shape[axis] // 2, axis=axis)
+    Image.fromarray(_norm(sl[::-1])).save(path)
+
+
+class MetricsWriter:
+    """Appends rows to both metrics.csv and metrics.jsonl in a run dir."""
+
+    def __init__(self, run_dir: str):
+        self.csv_path = os.path.join(run_dir, "metrics.csv")
+        self.jsonl_path = os.path.join(run_dir, "metrics.jsonl")
+        self._fields: list[str] | None = None
+
+    def write(self, row: dict) -> None:
+        with open(self.jsonl_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        if self._fields is None:
+            self._fields = sorted(row.keys())
+            new = not os.path.exists(self.csv_path)
+            with open(self.csv_path, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._fields,
+                                   extrasaction="ignore")
+                if new:
+                    w.writeheader()
+                w.writerow(row)
+        else:
+            with open(self.csv_path, "a", newline="") as f:
+                csv.DictWriter(f, fieldnames=self._fields,
+                               extrasaction="ignore").writerow(row)

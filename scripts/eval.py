@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Quality evaluation: PSNR of super-resolved volumes vs ground-truth HR
+(BASELINE.json quality metric: "PSNR vs reference ... outputs").
+
+    python scripts/eval.py basePath data/ fromSim 1000 toSim 1000 \
+        frameMin 0 frameMax 20 upRes 4 tileSizeLow 16 useVelocities 1 \
+        load_model_test 0 load_model_no 4 [load_model_test2 1 load_model_no2 4] \
+        testPath runs/
+
+Prints one JSON line with mean/min/max PSNR for the model and for the
+trilinear-upsampling baseline.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from mpgan_tpu.utils import params as ph
+
+
+def main(argv=None):
+    if argv is not None:
+        ph.setParams(argv)
+    load_test2 = int(ph.getParam("load_model_test2", -1))
+    load_no2 = int(ph.getParam("load_model_no2", -1))
+
+    from mpgan_tpu import config as cfgmod
+    cfg = cfgmod.from_cli(None)
+
+    import jax
+    import jax.numpy as jnp
+    from mpgan_tpu.data import loader
+    from mpgan_tpu.infer import assemble
+    from mpgan_tpu.io import uni
+    from mpgan_tpu.parallel import mesh as pmesh
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from multipass_gan import _load_gen
+
+    gen1, params1 = _load_gen(cfg, 1, cfg.train.load_model_test,
+                              cfg.train.load_model_no)
+    gen2 = params2 = None
+    if load_test2 >= 0:
+        gen2, params2 = _load_gen(cfg, 2, load_test2, load_no2)
+
+    mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
+    upscale = assemble.make_jitted_upscaler(
+        gen1, params1, gen2, params2, cfg.data.up_res,
+        chunk=cfg.infer.slice_chunk, mesh=mesh)
+    s = cfg.data.up_res
+
+    psnrs, psnrs_tri = [], []
+    for sim in range(cfg.data.from_sim, cfg.data.to_sim + 1):
+        sim_dir = os.path.join(cfg.data.base_path, f"sim_{sim:04d}")
+        for f in range(cfg.infer.frame_min, cfg.infer.frame_max):
+            dpath = os.path.join(sim_dir, loader.LOW_DENSITY % f)
+            hpath = os.path.join(sim_dir, loader.HIGH_DENSITY % f)
+            if not (os.path.exists(dpath) and os.path.exists(hpath)):
+                continue
+            _, d = uni.readUni(dpath)
+            chans = [d.astype(np.float32)]
+            if cfg.data.use_velocities:
+                _, v = uni.readUni(os.path.join(sim_dir, loader.LOW_VELOCITY % f))
+                chans.append(v.astype(np.float32))
+            lr = jnp.asarray(np.concatenate(chans, axis=-1))
+            _, gt = uni.readUni(hpath)
+            out = np.asarray(upscale(lr))
+            z, y, x, _ = d.shape
+            tri = np.asarray(jax.image.resize(
+                jnp.asarray(d), (z * s, y * s, x * s, 1), "linear"))
+            psnrs.append(assemble.psnr_volume(out, gt))
+            psnrs_tri.append(assemble.psnr_volume(tri, gt))
+
+    result = {
+        "frames": len(psnrs),
+        "psnr_mean": round(float(np.mean(psnrs)), 3),
+        "psnr_min": round(float(np.min(psnrs)), 3),
+        "psnr_max": round(float(np.max(psnrs)), 3),
+        "trilinear_psnr_mean": round(float(np.mean(psnrs_tri)), 3),
+        "two_pass": gen2 is not None,
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

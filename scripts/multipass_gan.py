@@ -35,15 +35,21 @@ def main(argv=None):
     load_test2 = int(ph.getParam("load_model_test2", -1))
     load_no2 = int(ph.getParam("load_model_no2", -1))
     pass2_source = ph.getParam("pass2Source", "gt")  # gt | g1
+    # training resume (pass-2 training uses load_model_test/no for the G1
+    # source, so resume has its own flags there; for pass-1 training
+    # load_model_test/no resume directly, as in the reference)
+    resume_test = int(ph.getParam("resumeTest", -1))
+    resume_no = int(ph.getParam("resumeNo", -1))
     cfg = cfgmod.from_cli(None)  # parses the already-installed argv
 
     if cfg.infer.output_only:
         run_inference(cfg, load_test2, load_no2)
     else:
-        run_training(cfg, argv, pass2_source)
+        run_training(cfg, argv, pass2_source, resume_test, resume_no)
 
 
-def run_training(cfg, argv, pass2_source: str = "gt"):
+def run_training(cfg, argv, pass2_source: str = "gt",
+                 resume_test: int = -1, resume_no: int = -1):
     import jax
     import jax.numpy as jnp
     from mpgan_tpu.data.loader import FluidDataLoader
@@ -51,6 +57,7 @@ def run_training(cfg, argv, pass2_source: str = "gt"):
     from mpgan_tpu.parallel import mesh as pmesh
     from mpgan_tpu.train import checkpoint as ckpt
     from mpgan_tpu.train.loop import Trainer
+    from mpgan_tpu.utils import preview
 
     ds = FluidDataLoader(cfg.data.base_path, cfg.data.from_sim, cfg.data.to_sim,
                          cfg.data.frame_min, cfg.data.frame_max,
@@ -84,8 +91,44 @@ def run_training(cfg, argv, pass2_source: str = "gt"):
         ckpt.save_gen(run, no, trainer.rt.state.params_g)
         print(f"  saved model_{no:04d} at iter {it}")
 
+    writer = preview.MetricsWriter(run)
+    preview_key = jax.random.PRNGKey(12345)
+
+    def on_log(trainer, metrics):
+        print("  " + " ".join(f"{k}={v:.4g}" if isinstance(v, float) else
+                              f"{k}={v}" for k, v in sorted(metrics.items())))
+        writer.write(metrics)
+        # [input | generated | target] patch grid, reference-style PNG dump
+        rt = trainer.rt
+        if trainer.pass_no == 1:
+            b = tc.sample_pass1(preview_key, 4)
+            x_in = b["lr"]
+        else:
+            b = tc.sample_pass2(preview_key, 4)
+            x_in = jnp.concatenate([b["interm"]] +
+                                   ([b["lr_vel"]] if "lr_vel" in b else []),
+                                   axis=-1)
+        fake = rt.gen.apply(rt.state.params_g, x_in, stage=rt.stage)
+        it = metrics["it"]
+        preview.save_patch_grid(
+            os.path.join(run, f"preview_{it + 1:06d}.png"),
+            [jax.device_get(x_in[..., 0:1]), jax.device_get(fake),
+             jax.device_get(b["hr"])])
+
     tr = Trainer(cfg, tc, mesh=mesh)
-    last = tr.fit(on_checkpoint=on_checkpoint)
+    start_it = 0
+    if cfg.train.first_gen_run and cfg.train.load_model_test >= 0:
+        resume_test, resume_no = cfg.train.load_model_test, cfg.train.load_model_no
+    total_iters = cfg.train.training_iters
+    if resume_test >= 0:
+        prev_run = ckpt.run_dir(cfg.train.test_path, resume_test)
+        no = resume_no if resume_no >= 0 else ckpt.latest_model_no(prev_run)
+        start_it = tr.restore(prev_run, no)
+        total_iters = start_it + cfg.train.training_iters  # additional iters
+        print(f"resumed from {prev_run}/model_{no:04d} at iter {start_it}; "
+              f"training to {total_iters}")
+    last = tr.fit(iters=total_iters, on_checkpoint=on_checkpoint,
+                  on_log=on_log, start_it=start_it)
     # final checkpoint
     no = (cfg.train.training_iters // max(cfg.train.save_interval, 1)) \
         if cfg.train.save_interval else 0
@@ -93,11 +136,6 @@ def run_training(cfg, argv, pass2_source: str = "gt"):
               dict(it=cfg.train.training_iters, stage=tr.rt.stage,
                    pass_no=tr.pass_no, up_res=tc.up_res))
     ckpt.save_gen(run, no, tr.rt.state.params_g)
-    # metrics log
-    import json
-    with open(os.path.join(run, "metrics.jsonl"), "w") as f:
-        for m in tr.metrics_log:
-            f.write(json.dumps(m) + "\n")
     print(f"done: {last}")
     return run
 

@@ -164,3 +164,44 @@ def test_pass2_interm_shape_mismatch_raises():
     bad = np.zeros((1, 2, 2, 2, 1), np.float32)
     with pytest.raises(ValueError):
         pipeline.TileCreator(ds, tile_lr=8, interm=bad)
+
+
+def test_vorticity_channels_flow_through():
+    """useVorticities: 7-channel LR patches sample and keep finite values,
+    with vorticity channels pseudo-vector-transformed under flips."""
+    from mpgan_tpu.data.loader import vorticity
+    rng = np.random.default_rng(11)
+    n, z, y, x = 2, 12, 16, 16
+    vel = rng.standard_normal((n, z, y, x, 3)).astype(np.float32)
+    dens = rng.random((n, z, y, x, 1), dtype=np.float32)
+    vort = np.stack([vorticity(vel[i]) for i in range(n)])
+    lr = np.concatenate([dens, vel, vort], axis=-1)
+    hr = rng.random((n, z * 2, y * 2, x * 2, 1), dtype=np.float32)
+    ds = FluidDataset(lr=lr, hr=hr, n_sims=1, n_frames=2, up_res=2)
+    assert ds.use_vorticities
+    tc = pipeline.TileCreator(ds, tile_lr=8, density_threshold=0.0)
+    out = tc.sample_pass1(jax.random.PRNGKey(0), batch=4)
+    assert out["lr"].shape == (4, 8, 8, 7)
+    assert np.isfinite(np.asarray(out["lr"])).all()
+
+
+def test_vorticity_pseudovector_under_flip():
+    """Under an x-flip, in-plane velocity vx flips sign but vorticity wz
+    (out-of-plane pseudo-vector) also flips; wx keeps, wy flips twice..."""
+    from mpgan_tpu.ops.augment import transform_pseudovectors, transform_vectors
+    import jax.numpy as jnp
+    patch = np.zeros((4, 4, 7), np.float32)
+    patch[..., 1] = 2.0   # v_w
+    patch[..., 2] = 3.0   # v_h
+    patch[..., 4] = 1.0   # w_w
+    patch[..., 5] = 5.0   # w_h
+    patch[..., 6] = 7.0   # w_out
+    flip_x = jnp.asarray(np.diag([1.0, -1.0]).astype(np.float32))  # (h, w)
+    out = transform_vectors(jnp.asarray(patch), flip_x, 3)
+    out = np.asarray(transform_pseudovectors(out, flip_x, start=4, n=3))
+    assert np.allclose(out[..., 1], -2.0)   # v_w flips
+    assert np.allclose(out[..., 2], 3.0)    # v_h unchanged
+    # det = -1: w' = det·M·w → w_w: -1·(-1·1)=1... sign algebra:
+    assert np.allclose(out[..., 4], 1.0)    # w_w: det·(-w_w) = +1
+    assert np.allclose(out[..., 5], -5.0)   # w_h: det·(+w_h) = -5
+    assert np.allclose(out[..., 6], -7.0)   # w_out: det·w_out = -7

@@ -89,3 +89,44 @@ def test_noise_in_range():
     assert 0.0 <= n.min() and n.max() <= 1.0
     # smooth: neighbor diffs well below range
     assert np.abs(np.diff(n, axis=0)).mean() < 0.2
+
+
+def test_2d_solver_plume_rises():
+    from mpgan_tpu.solver import smoke2d
+    res = 32
+    state = smoke2d.init_state(res, res)
+    inflow = smoke2d.disc_mask(res, res, (0.15, 0.5), 0.15)
+    params = smoke.SmokeParams(jacobi_iters=30)
+    key = jax.random.PRNGKey(0)
+    for t in range(12):
+        n = noise.value_noise_3d(jax.random.fold_in(key, t), (1, res, res))[0]
+        src = (0.5 + 0.5 * n)[..., None] * inflow
+        state = smoke2d.step(state, params, src, inflow)
+    d = np.asarray(state.density[..., 0])
+    assert np.isfinite(d).all() and d.max() > 0.3
+    com = (d * np.arange(res)[:, None]).sum() / d.sum()
+    assert com > 0.2 * res  # smoke moved up
+
+
+def test_2d_projection_kills_divergence():
+    from mpgan_tpu.solver import smoke2d
+    rng = np.random.default_rng(0)
+    vel = jnp.asarray(rng.standard_normal((24, 24, 2)).astype(np.float32))
+    solid = jnp.zeros((24, 24, 1))
+    before = np.abs(np.asarray(smoke2d.divergence(
+        smoke2d.enforce_boundaries(vel, solid)))).mean()
+    out = smoke2d.project(vel, solid, 200)
+    after = np.abs(np.asarray(smoke2d.divergence(out))).mean()
+    assert after < 0.05 * before
+
+
+def test_2d_datagen_writes_z1_volumes(tmp_path):
+    sim_dir = str(tmp_path / "sim_1000")
+    datagen.generate_sim_2d(sim_dir, seed=0, res_hi=32, up_res=4, frames=2,
+                            warmup=2)
+    from mpgan_tpu.data.loader import FluidDataLoader
+    base = str(tmp_path)
+    ds = FluidDataLoader(base, 1000, 1000, frame_max=2).get()
+    assert ds.lr.shape == (2, 1, 8, 8, 4)
+    assert ds.hr.shape == (2, 1, 32, 32, 1)
+    assert ds.up_res == 4

@@ -141,3 +141,73 @@ def test_dp_matches_single_device():
     tr8 = Trainer(cfg, tc, mesh=pmesh.make_mesh())
     o8 = tr8.fit(iters=3, log_every=1)
     assert abs(o1["l1"] - o8["l1"]) < 1e-3, (o1["l1"], o8["l1"])
+
+
+def test_resume_from_checkpoint(tmp_path):
+    """Save mid-training, restore into a fresh Trainer, continue: the resumed
+    state carries params + step exactly (SURVEY.md §5 checkpoint/resume)."""
+    from mpgan_tpu.train import checkpoint as ckpt
+
+    ds = _dataset()
+    cfg = _config(stages=1)
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    tr = Trainer(cfg, tc)
+    tr.fit(iters=4, log_every=1)
+    run = ckpt.next_run_dir(str(tmp_path))
+    ckpt.save(run, 0, tr.rt.state, dict(it=4, stage=1, pass_no=1))
+
+    tr2 = Trainer(cfg, tc)
+    start = tr2.restore(run, 0)
+    assert start == 4
+    assert int(tr2.rt.state.step) == int(tr.rt.state.step)
+    w1 = np.asarray(tr.rt.state.params_g["params"]["stem"]["kernel"])
+    w2 = np.asarray(tr2.rt.state.params_g["params"]["stem"]["kernel"])
+    np.testing.assert_array_equal(w1, w2)
+    out = tr2.fit(iters=6, start_it=start, log_every=1)
+    assert np.isfinite(out["g_loss"])
+    assert int(tr2.rt.state.step) == 6
+
+
+def test_steps_per_dispatch_equivalence():
+    """K-per-dispatch scan training must behave like single-step (same seed,
+    same chunk boundaries at log points)."""
+    ds = _dataset()
+    import dataclasses
+    cfg1 = _config(stages=1)
+    cfg8 = dataclasses.replace(
+        cfg1, train=dataclasses.replace(cfg1.train, steps_per_dispatch=8))
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    o1 = Trainer(cfg1, tc).fit(iters=8, log_every=8)
+    o8 = Trainer(cfg8, tc).fit(iters=8, log_every=8)
+    assert np.isfinite(o8["g_loss"])
+    # same final iteration count
+    assert o1["it"] == o8["it"] == 7
+
+
+def test_preview_and_metrics_writer(tmp_path):
+    from mpgan_tpu.utils import preview
+    import os
+    cols = [np.random.rand(4, 8, 8, 1).astype(np.float32),
+            np.random.rand(4, 16, 16, 1).astype(np.float32)]
+    p = str(tmp_path / "grid.png")
+    preview.save_patch_grid(p, cols)
+    assert os.path.exists(p)
+    w = preview.MetricsWriter(str(tmp_path))
+    w.write({"it": 0, "g_loss": 1.5})
+    w.write({"it": 1, "g_loss": 1.2})
+    lines = open(str(tmp_path / "metrics.csv")).read().strip().split("\n")
+    assert len(lines) == 3 and "g_loss" in lines[0]
+
+
+def test_2d_data_training_runs():
+    """dataDim 2 path: Z=1 volumes train pass-1 end-to-end."""
+    rng = np.random.default_rng(3)
+    s = 2
+    lr = rng.random((4, 1, 24, 24, 4), dtype=np.float32)
+    hr = rng.random((4, 1, 48, 48, 1), dtype=np.float32)
+    ds = FluidDataset(lr=lr, hr=hr, n_sims=1, n_frames=4, up_res=s)
+    cfg = _config(stages=1)
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    assert tc.up_res == 2
+    out = Trainer(cfg, tc).fit(iters=3, log_every=1)
+    assert np.isfinite(out["g_loss"])
