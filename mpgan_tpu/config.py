@@ -89,6 +89,9 @@ class TrainConfig:
     # parallelism / dispatch
     data_axis: str = "data"
     steps_per_dispatch: int = 1   # lax.scan'd steps per device program call
+    # observability (SURVEY.md §5: tracing / failure detection)
+    profile_dir: str = ""         # jax.profiler trace output dir ("" = off)
+    debug_nans: bool = False      # jax debug_nans for fast failure detection
 
 
 @dataclass
@@ -188,6 +191,8 @@ def from_cli(argv: list[str] | None = None) -> Config:
         alpha_iters=g("alphaIters", TrainConfig.alpha_iters),
         stable_iters=g("stableIters", TrainConfig.stable_iters),
         steps_per_dispatch=g("stepsPerDispatch", TrainConfig.steps_per_dispatch),
+        profile_dir=g("profileDir", TrainConfig.profile_dir),
+        debug_nans=bool(g("debugNans", 0)),
     )
     infer = InferConfig(
         output_only=bool(g("out", 0)),

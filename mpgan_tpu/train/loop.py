@@ -274,6 +274,8 @@ class Trainer:
             self.schedule = None
         self.rt: StageRuntime | None = None
         self.metrics_log: list[dict] = []
+        if cfg.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
 
     # ---------------------------------------------------------------- build
 
@@ -299,13 +301,13 @@ class Trainer:
     def _example_inputs(self, stage: int):
         t = self.cfg.data.tile_size_low
         s = 2 ** stage
-        n_vel = 3 if self.cfg.data.use_velocities else 0
         if self.pass_no == 1:
-            c_in = 1 + n_vel
+            c_in = 1 + self.tc.st.n_vel + self.tc.st.n_vort
             x = jnp.zeros((1, t, t, c_in))
             cond = jnp.zeros((1, t * s, t * s, c_in + 1))
         else:
-            c_in = 1 + n_vel
+            # pass-2 input: intermediate density + velocity (no vorticity)
+            c_in = 1 + self.tc.st.n_vel
             x = jnp.zeros((1, t, t * self.tc.up_res, c_in))
             cond = jnp.zeros((1, t * s, t * self.tc.up_res, c_in + 1))
         trip = jnp.zeros(cond.shape[:3] + (3,))
@@ -390,6 +392,8 @@ class Trainer:
         cur_stage = self.rt.stage
 
         k_disp = max(1, cfg.train.steps_per_dispatch)
+        if cfg.train.profile_dir:
+            jax.profiler.start_trace(cfg.train.profile_dir)
         t_start = time.time()
         last = {}
         it = start_it
@@ -445,4 +449,9 @@ class Trainer:
             if on_checkpoint and cfg.train.save_interval and \
                     it % cfg.train.save_interval == 0 and it < iters:
                 on_checkpoint(self, it)
+        if cfg.train.profile_dir:
+            jax.profiler.stop_trace()
+        if last:
+            elapsed = max(last["wall"], 1e-9)
+            last["steps_per_sec"] = round((it - start_it) / elapsed, 3)
         return last

@@ -61,7 +61,8 @@ def run_training(cfg, argv, pass2_source: str = "gt",
 
     ds = FluidDataLoader(cfg.data.base_path, cfg.data.from_sim, cfg.data.to_sim,
                          cfg.data.frame_min, cfg.data.frame_max,
-                         cfg.data.use_velocities, cfg.data.data_fraction).get()
+                         cfg.data.use_velocities, cfg.data.data_fraction,
+                         use_vorticities=cfg.data.use_vorticities).get()
 
     interm = None
     if not cfg.train.first_gen_run and pass2_source == "g1":

@@ -211,3 +211,20 @@ def test_2d_data_training_runs():
     assert tc.up_res == 2
     out = Trainer(cfg, tc).fit(iters=3, log_every=1)
     assert np.isfinite(out["g_loss"])
+
+
+def test_vorticity_conditioned_training_runs():
+    """useVorticities: 7-channel inputs train end-to-end."""
+    from mpgan_tpu.data.loader import vorticity
+    rng = np.random.default_rng(5)
+    s = 2
+    vel = rng.standard_normal((4, 12, 20, 20, 3)).astype(np.float32)
+    dens = rng.random((4, 12, 20, 20, 1), dtype=np.float32)
+    vort = np.stack([vorticity(vel[i]) for i in range(4)])
+    lr = np.concatenate([dens, vel, vort], axis=-1)
+    hr = rng.random((4, 12 * s, 40, 40, 1), dtype=np.float32)
+    ds = FluidDataset(lr=lr, hr=hr, n_sims=1, n_frames=4, up_res=s)
+    cfg = _config(stages=1)
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0)
+    out = Trainer(cfg, tc).fit(iters=2, log_every=1)
+    assert np.isfinite(out["g_loss"])
