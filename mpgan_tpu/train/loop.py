@@ -29,6 +29,7 @@ import numpy as np
 import optax
 
 from mpgan_tpu.config import Config
+from mpgan_tpu.data import pipeline
 from mpgan_tpu.data.pipeline import TileCreator
 from mpgan_tpu.models import discriminator as D
 from mpgan_tpu.models import generator as G
@@ -83,7 +84,11 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
                     mesh=None) -> Callable:
     """Build the fused jitted train step for one (stage, fade) program.
 
-    Returns step(state, key, alpha) → (state, metrics). ``alpha`` is traced.
+    Returns step(state, data, key, alphas) → (state, metrics). ``alphas`` is
+    a traced (K,) vector (K steps per dispatch); ``data`` is the tile
+    creator's device-array dict passed explicitly — closing over it would
+    serialize the whole dataset into the compile payload (the axon remote
+    compiler rejects >~hundreds of MB with HTTP 413).
     """
     lcfg = cfg.loss
     temporal = dt is not None
@@ -119,11 +124,14 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
     opt_d = optax.adam(cfg.train.learning_rate, b1=cfg.train.beta1,
                        eps=cfg.train.adam_eps)
 
-    def sample(key):
+    def sample(data, key):
         if pass_no == 1:
-            b = tc.sample_pass1(key, batch_size, temporal=temporal)
+            b = pipeline._sample_pass1(data["lr"], data["hrz"], data["didx"],
+                                       key, batch_size, "xy", temporal, tc.st)
         else:
-            b = tc.sample_pass2(key, batch_size, temporal=temporal)
+            b = pipeline._sample_pass2(data["lr"], data["interm"], data["hr"],
+                                       data["didx"], key, batch_size, "xz",
+                                       temporal, tc.st)
         return pmesh.constrain_batch(_stage_targets(b), mesh)
 
     def gen_apply(p, x, alpha):
@@ -202,11 +210,11 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
                    psnr=losses.psnr(fake, batch["hr"]))
         return total, aux
 
-    def step_core(state: TrainState, key, alpha):
+    def step_core(state: TrainState, data, key, alpha):
         kd, kg = jax.random.split(key)
 
         # --- discriminator update (fresh batch, like the reference's discRuns)
-        batch_d = sample(kd)
+        batch_d = sample(data, kd)
 
         def ds_obj(p_ds):
             l_ds, _ = d_losses(p_ds, state.params_dt, state.params_g,
@@ -228,7 +236,7 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
             params_dt = optax.apply_updates(state.params_dt, upd)
 
         # --- generator update (fresh batch)
-        batch_g = sample(kg)
+        batch_g = sample(data, kg)
         (loss_g, aux), grads_g = jax.value_and_grad(
             g_loss, has_aux=True)(state.params_g, params_ds, params_dt,
                                   batch_g, alpha)
@@ -244,11 +252,11 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
     # One device program per (stage, fade, K) amortizes host-dispatch latency
     # (~33 ms/RPC on the axon tunnel — SURVEY.md §3.1 rebuild consequence).
     @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, key, alphas):
+    def step(state: TrainState, data, key, alphas):
         def body(carry, alpha):
             st, k = carry
             k, k_step = jax.random.split(k)
-            st, metrics = step_core(st, k_step, alpha)
+            st, metrics = step_core(st, data, k_step, alpha)
             return (st, k), metrics
         (state, _), ms = jax.lax.scan(body, (state, key), alphas)
         return state, jax.tree.map(lambda x: x[-1], ms)
@@ -274,8 +282,24 @@ class Trainer:
             self.schedule = None
         self.rt: StageRuntime | None = None
         self.metrics_log: list[dict] = []
+        self._data_cache: dict | None = None
         if cfg.train.debug_nans:
             jax.config.update("jax_debug_nans", True)
+
+    def _data(self) -> dict:
+        """Tile-creator device arrays, passed explicitly into the jitted step
+        (never closed over — see make_train_step)."""
+        if self._data_cache is None:
+            tc = self.tc
+            if self.pass_no == 1:
+                self._data_cache = dict(
+                    lr=tc.lr, hrz=tc.hrz,
+                    didx=tc._idx(self.cfg.train.use_temporal_disc))
+            else:
+                self._data_cache = dict(
+                    lr=tc.lr, interm=tc.interm, hr=tc.hr,
+                    didx=tc._idx(self.cfg.train.use_temporal_disc))
+        return self._data_cache
 
     # ---------------------------------------------------------------- build
 
@@ -433,7 +457,7 @@ class Trainer:
 
             key, k_step = jax.random.split(key)
             fn = self.rt.step_fade if fade else self.rt.step_stable
-            state, metrics = fn(self.rt.state, k_step, alphas)
+            state, metrics = fn(self.rt.state, self._data(), k_step, alphas)
             self.rt = StageRuntime(self.rt.stage, self.rt.gen, self.rt.ds,
                                    self.rt.dt, self.rt.step_fade,
                                    self.rt.step_stable, state)

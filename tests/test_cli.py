@@ -1,0 +1,80 @@
+"""Script-level end-to-end CLI tests (subprocess, CPU backend): the
+reference's documented entry points datagen → train → infer → eval
+(SURVEY.md §2.1/§3.3, BASELINE configs)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # sitecustomize pre-imports jax, but JAX_PLATFORMS in the child env is
+    # read at that import → CPU sticks for subprocesses
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", script)] + args.split(),
+        capture_output=True, text=True, cwd=cwd, env=env, timeout=900)
+    assert r.returncode == 0, f"{script} failed:\n{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    return r.stdout
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    _run("datagen.py",
+         f"basePath {d}/data/ fromSim 1000 toSim 1000 resHigh 32 upRes 4 "
+         "frames 5 warmup 2 randSeed 1", str(d))
+    return d
+
+
+def test_datagen_cli(workdir):
+    files = os.listdir(os.path.join(str(workdir), "data", "sim_1000"))
+    assert len(files) == 20  # 5 frames × 4 files
+
+
+def test_train_and_infer_cli(workdir):
+    d = str(workdir)
+    out = _run("multipass_gan.py",
+               f"out 0 basePath {d}/data/ fromSim 1000 toSim 1000 frameMax 5 "
+               "upRes 4 tileSizeLow 6 useVelocities 1 trainingIters 4 "
+               "batchSize 2 saveInterval 2 outputInterval 2 useTempoD 0 "
+               f"firstNN 1 genFilters 8 discFilters 8 genBlocks 1 "
+               f"dtype float32 testPath {d}/runs/ randSeed 3", d)
+    assert "done:" in out
+    run0 = os.path.join(d, "runs", "test_0000")
+    assert os.path.exists(os.path.join(run0, "metrics.csv"))
+    assert any(f.startswith("gen_") for f in os.listdir(run0))
+
+    out = _run("multipass_gan.py",
+               f"out 1 basePath {d}/data/ fromSim 1000 toSim 1000 upRes 4 "
+               "tileSizeLow 6 useVelocities 1 load_model_test 0 "
+               "load_model_no 2 outFrameMin 3 outFrameMax 5 genFilters 8 "
+               f"genBlocks 1 dtype float32 testPath {d}/runs/", d)
+    assert "inference outputs" in out
+    out_dir = os.path.join(d, "runs", "test_0001")
+    unis = [f for f in os.listdir(out_dir) if f.endswith(".uni")]
+    assert len(unis) == 2
+    from mpgan_tpu.io import uni
+    _, vol = uni.readUni(os.path.join(out_dir, unis[0]))
+    assert vol.shape == (32, 32, 32, 1)
+    assert np.isfinite(vol).all()
+
+
+def test_eval_cli(workdir):
+    d = str(workdir)
+    out = _run("eval.py",
+               f"basePath {d}/data/ fromSim 1000 toSim 1000 upRes 4 "
+               "tileSizeLow 6 useVelocities 1 load_model_test 0 "
+               "load_model_no 2 outFrameMin 3 outFrameMax 5 genFilters 8 "
+               f"genBlocks 1 dtype float32 testPath {d}/runs/", d)
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["frames"] == 2
+    assert 0 < res["psnr_mean"] < 100
+    assert "trilinear_psnr_mean" in res
