@@ -228,3 +228,16 @@ def test_vorticity_conditioned_training_runs():
     tc = TileCreator(ds, tile_lr=8, density_threshold=0.0)
     out = Trainer(cfg, tc).fit(iters=2, log_every=1)
     assert np.isfinite(out["g_loss"])
+
+
+def test_8x_growing_full_schedule():
+    """BASELINE config 5 skeleton: 8x (3 stages) progressive training walks
+    stage 1->2->3 with fades and stays finite."""
+    ds = _dataset(s=8)
+    cfg = _config(stages=3, growing=True, batch=2, tile=6)
+    tc = TileCreator(ds, tile_lr=6, density_threshold=0.0, augment=False)
+    tr = Trainer(cfg, tc)
+    out = tr.fit(iters=12, log_every=1)
+    stages_seen = {m["stage"] for m in tr.metrics_log}
+    assert stages_seen == {1, 2, 3}, stages_seen
+    assert np.isfinite(out["g_loss"])
