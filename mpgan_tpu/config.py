@@ -50,6 +50,7 @@ class ModelConfig:
     use_second_pass: bool = True
     dtype: str = "bfloat16"         # compute dtype on TPU
     param_dtype: str = "float32"
+    remat: bool = False             # jax.checkpoint on G res-blocks (HBM saver)
 
 
 @dataclass
@@ -163,6 +164,7 @@ def from_cli(argv: list[str] | None = None) -> Config:
         stages=_log2i(data.up_res),
         use_second_pass=bool(g("secondPass", 1)),
         dtype=g("dtype", ModelConfig.dtype),
+        remat=bool(g("remat", 0)),
     )
     loss = LossConfig(
         lambda_l1=g("k", LossConfig.lambda_l1),

@@ -71,6 +71,9 @@ class Generator(nn.Module):
     out_channels: int = 1
     global_skip: bool = True
     dtype: jnp.dtype = jnp.float32
+    # rematerialize residual blocks (jax.checkpoint): trades FLOPs for HBM —
+    # needed when training large slices (8×/512³, SURVEY.md §7(e))
+    remat: bool = False
 
     def _stage_filters(self, k: int) -> int:
         return max(self.base_filters // (2 ** k), self.min_filters)
@@ -95,12 +98,13 @@ class Generator(nn.Module):
         # creating them unconditionally keeps the param tree stage-complete
         # (stage-k tree ⊂ stage-(k+1) tree, required for growth merging)
         heads = []
+        block_cls = nn.remat(ResBlock) if self.remat else ResBlock
         for k in range(stage):
             fh, fw = self.factors[k]
             h = _upsample(h, fh, fw)
             for i in range(self.n_res_blocks):
-                h = ResBlock(self._stage_filters(k + 1), dtype=self.dtype,
-                             name=f"block_{k}_{i}")(h)
+                h = block_cls(self._stage_filters(k + 1), dtype=self.dtype,
+                              name=f"block_{k}_{i}")(h)
             heads.append(nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
                                  name=f"head_{k}")(h))
 
@@ -120,16 +124,16 @@ class Generator(nn.Module):
 
 
 def make_pass1(stages: int, base_filters: int = 32, n_res_blocks: int = 2,
-               dtype=jnp.float32) -> Generator:
+               dtype=jnp.float32, remat: bool = False) -> Generator:
     """Pass-1 generator: isotropic in-plane 2× per stage (2^stages total)."""
     return Generator(factors=tuple((2, 2) for _ in range(stages)),
                      base_filters=base_filters, n_res_blocks=n_res_blocks,
-                     dtype=dtype)
+                     dtype=dtype, remat=remat)
 
 
 def make_pass2(stages: int, base_filters: int = 32, n_res_blocks: int = 2,
-               dtype=jnp.float32) -> Generator:
+               dtype=jnp.float32, remat: bool = False) -> Generator:
     """Pass-2 generator: z-only (h-axis) 2× per stage; w axis already HR."""
     return Generator(factors=tuple((2, 1) for _ in range(stages)),
                      base_filters=base_filters, n_res_blocks=n_res_blocks,
-                     dtype=dtype)
+                     dtype=dtype, remat=remat)

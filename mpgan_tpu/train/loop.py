@@ -308,11 +308,13 @@ class Trainer:
         dtype = jnp.bfloat16 if mcfg.dtype == "bfloat16" else jnp.float32
         if self.pass_no == 1:
             gen = G.make_pass1(self.n_stages, mcfg.n_base_filters,
-                               mcfg.n_res_blocks, dtype=dtype)
+                               mcfg.n_res_blocks, dtype=dtype,
+                               remat=mcfg.remat)
             dfac = tuple((2, 2) for _ in range(self.n_stages))
         else:
             gen = G.make_pass2(self.n_stages, mcfg.n_base_filters,
-                               mcfg.n_res_blocks, dtype=dtype)
+                               mcfg.n_res_blocks, dtype=dtype,
+                               remat=mcfg.remat)
             dfac = tuple((2, 1) for _ in range(self.n_stages))
         ds = D.make_spatial(self.n_stages, mcfg.disc_base_filters,
                             factors=dfac, dtype=dtype)

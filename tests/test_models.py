@@ -129,3 +129,17 @@ def test_growth_schedule():
     assert s == 3 and a == 0.0
     assert sch.stage_at(10_000) == (3, 1.0)
     assert sch.boundaries() == [200, 400]
+
+
+def test_remat_generator_matches_plain():
+    """remat=True must be numerically identical (same params, same output)."""
+    x = jnp.asarray(np.random.default_rng(4).random((2, 8, 8, 4), np.float32))
+    g_plain = G.make_pass1(stages=1, base_filters=16)
+    g_remat = G.make_pass1(stages=1, base_filters=16, remat=True)
+    p = g_plain.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(g_plain.apply(p, x)), np.asarray(g_remat.apply(p, x)),
+        atol=1e-6)
+    # gradients flow through the remat path
+    g = jax.grad(lambda p: jnp.sum(g_remat.apply(p, x) ** 2))(p)
+    assert np.isfinite(np.asarray(g["params"]["stem"]["kernel"])).all()
