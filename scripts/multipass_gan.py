@@ -40,16 +40,22 @@ def main(argv=None):
     # load_model_test/no resume directly, as in the reference)
     resume_test = int(ph.getParam("resumeTest", -1))
     resume_no = int(ph.getParam("resumeNo", -1))
+    # generator-only warm start (e.g. GAN fine-tune from an L1 pretrain;
+    # BASELINE config 1 "pretrained first-pass generator")
+    warm_test = int(ph.getParam("warmStartTest", -1))
+    warm_no = int(ph.getParam("warmStartNo", -1))
     cfg = cfgmod.from_cli(None)  # parses the already-installed argv
 
     if cfg.infer.output_only:
         run_inference(cfg, load_test2, load_no2)
     else:
-        run_training(cfg, argv, pass2_source, resume_test, resume_no)
+        run_training(cfg, argv, pass2_source, resume_test, resume_no,
+                     warm_test, warm_no)
 
 
 def run_training(cfg, argv, pass2_source: str = "gt",
-                 resume_test: int = -1, resume_no: int = -1):
+                 resume_test: int = -1, resume_no: int = -1,
+                 warm_test: int = -1, warm_no: int = -1):
     import jax
     import jax.numpy as jnp
     from mpgan_tpu.data.loader import FluidDataLoader
@@ -118,6 +124,19 @@ def run_training(cfg, argv, pass2_source: str = "gt",
 
     tr = Trainer(cfg, tc, mesh=mesh)
     start_it = 0
+    if warm_test >= 0:
+        # fresh optimizers + discriminators, generator weights from a saved
+        # gen checkpoint (works across configs, unlike a full-state resume)
+        prev_run = ckpt.run_dir(cfg.train.test_path, warm_test)
+        no = warm_no if warm_no >= 0 else ckpt.latest_model_no(prev_run)
+        key = jax.random.PRNGKey(cfg.train.rand_seed)
+        tr.rt = tr._init_stage(tr.n_stages, key, None)
+        params_g = ckpt.restore_gen(prev_run, no, tr.rt.state.params_g)
+        from mpgan_tpu.train.loop import StageRuntime
+        tr.rt = StageRuntime(tr.rt.stage, tr.rt.gen, tr.rt.ds, tr.rt.dt,
+                             tr.rt.step_fade, tr.rt.step_stable,
+                             tr.rt.state._replace(params_g=params_g))
+        print(f"warm-started generator from {prev_run}/gen_{no:04d}")
     if cfg.train.first_gen_run and cfg.train.load_model_test >= 0:
         resume_test, resume_no = cfg.train.load_model_test, cfg.train.load_model_no
     total_iters = cfg.train.training_iters
