@@ -235,6 +235,45 @@ def _sample_pass2(lr, interm_src, hr, dense_idx, key, batch: int, plane: str,
     return out
 
 
+@partial(jax.jit, static_argnames=("batch", "plane", "temporal", "st"))
+def _sample_pass3(lr, final_src, hr, dense_idx, key, batch: int, plane: str,
+                  temporal: bool, st: TCStatic):
+    """Pass-3 (yz-plane) batches: constant-resolution refinement patches.
+
+    input: (t·s, t·s) full-HR-spacing patches from ``final_src`` (the
+    two-pass output volumes, or HR for identity-regularized training),
+    velocity channels from LR, target from HR — all at the same coords."""
+    k1, k3 = jax.random.split(key)
+    vol, centers = _candidates(k1, batch, plane, dense_idx, st, normal_hr=True)
+    a, ainv = _transforms(k3, batch, st)
+    t, s = st.tile_lr, st.up_res
+    ts = t * s
+
+    def one(v, c, am, ai):
+        cin = plane_patch_coords(plane, c, am, ts, ts, 1.0 / s, 1.0 / s)
+        fin = gather_patch(final_src[v], cin, (float(s), float(s), float(s)))
+        vel = None
+        if st.n_vel:
+            lrp = gather_patch(lr[v], cin, (1.0, 1.0, 1.0))
+            lrp = transform_vectors(
+                _permute_channels(lrp, plane, st.n_vel, st.n_vort), ai, st.n_vel)
+            vel = lrp[..., 1:4]
+        hrp = gather_patch(hr[v], cin, (float(s), float(s), float(s)))
+        return fin, vel, hrp
+
+    fin, vel, hrp = jax.vmap(one)(vol, centers, a, ainv)
+    out = {"final": fin, "hr": hrp}
+    if vel is not None:
+        out["lr_vel"] = vel
+    if temporal:
+        for name, dv in (("prev", -1), ("next", +1)):
+            f2, v2, h2 = jax.vmap(one)(vol + dv, centers, a, ainv)
+            out[f"final_{name}"], out[f"hr_{name}"] = f2, h2
+            if v2 is not None:
+                out[f"lr_vel_{name}"] = v2
+    return out
+
+
 class TileCreator:
     """Holds device-resident volumes; samples augmented training batches."""
 
@@ -242,22 +281,34 @@ class TileCreator:
                  density_threshold: float = 0.002,
                  augment: bool = True, rot_mode: int = 2,
                  scale_min: float = 0.85, scale_max: float = 1.15,
-                 interm: jnp.ndarray | None = None):
+                 interm: jnp.ndarray | None = None,
+                 final: jnp.ndarray | None = None):
         """``interm``: optional (N, Z, Y·s, X·s, 1) volumes to use as the
         pass-2 *input* source instead of the GT z-downsampled HR — pass the
         frozen pass-1 generator's outputs here to train G2 on G1 outputs
-        (SURVEY.md §3.2; see mpgan_tpu.infer.assemble.precompute_intermediates)."""
-        self.lr = jnp.asarray(dataset.lr)
-        self.hr = jnp.asarray(dataset.hr)
-        # pass-1 target: HR downsampled along z only; for 2D data (Z == 1)
-        # there is no z axis to downsample and hrz is the HR itself
-        z_factor = self.hr.shape[1] // self.lr.shape[1]
-        self.hrz = (downsample_axis(self.hr, z_factor, axis=1)
-                    if z_factor > 1 else self.hr)
-        self.interm = jnp.asarray(interm) if interm is not None else self.hrz
-        if self.interm.shape != self.hrz.shape:
-            raise ValueError(f"interm shape {self.interm.shape} != expected "
-                             f"{self.hrz.shape}")
+        (SURVEY.md §3.2; see mpgan_tpu.infer.assemble.precompute_intermediates).
+        ``final``: optional (N, Z·s, Y·s, X·s, 1) full-res volumes as the
+        pass-3 input source (two-pass outputs); defaults to HR.
+
+        Device residency is lazy and per-pass: pass-1 training touches only
+        ``lr`` + ``hrz`` (the 4×-larger ``hr`` stack stays on host), so large
+        datasets fit HBM; ``hrz`` is computed volume-by-volume to bound blur
+        temporaries."""
+        self._host_lr = dataset.lr
+        self._host_hr = dataset.hr
+        self._dev: dict = {}
+        if interm is not None:
+            hrz_shape = (dataset.hr.shape[0], dataset.lr.shape[1],
+                         *dataset.hr.shape[2:])
+            if tuple(interm.shape) != hrz_shape:
+                raise ValueError(f"interm shape {interm.shape} != expected "
+                                 f"{hrz_shape}")
+            self._dev["interm"] = jnp.asarray(interm)
+        if final is not None:
+            if tuple(final.shape) != dataset.hr.shape:
+                raise ValueError(f"final shape {final.shape} != expected "
+                                 f"{tuple(dataset.hr.shape)}")
+            self._dev["final"] = jnp.asarray(final)
         n_frames = int(dataset.n_frames)
 
         # dense-cell index: pooled LR density cells above the rejection
@@ -297,6 +348,43 @@ class TileCreator:
     def up_res(self) -> int:
         return self.st.up_res
 
+    # lazy device arrays ---------------------------------------------------
+
+    @property
+    def lr(self) -> jnp.ndarray:
+        if "lr" not in self._dev:
+            self._dev["lr"] = jnp.asarray(self._host_lr)
+        return self._dev["lr"]
+
+    @property
+    def hr(self) -> jnp.ndarray:
+        if "hr" not in self._dev:
+            self._dev["hr"] = jnp.asarray(self._host_hr)
+        return self._dev["hr"]
+
+    @property
+    def hrz(self) -> jnp.ndarray:
+        """HR downsampled along z only (pass-1 target); for 2D data (Z == 1)
+        this is HR itself. Computed per volume to bound temporaries."""
+        if "hrz" not in self._dev:
+            z_factor = self._host_hr.shape[1] // self._host_lr.shape[1]
+            if z_factor <= 1:
+                self._dev["hrz"] = self.hr
+            else:
+                fn = jax.jit(partial(downsample_axis, factor=z_factor, axis=1))
+                self._dev["hrz"] = jnp.stack(
+                    [fn(jnp.asarray(self._host_hr[i]))
+                     for i in range(self._host_hr.shape[0])])
+        return self._dev["hrz"]
+
+    @property
+    def interm(self) -> jnp.ndarray:
+        return self._dev.get("interm", self.hrz)
+
+    @property
+    def final(self) -> jnp.ndarray:
+        return self._dev.get("final", self.hr)
+
     def _idx(self, temporal: bool):
         return self.dense_idx_t if temporal else self.dense_idx
 
@@ -311,4 +399,11 @@ class TileCreator:
         """Pass-2 batch: {'interm' (B,t,ts,1), 'lr_vel' (B,t,ts,3),
         'hr' (B,ts,ts,1)} [+ prev/next]."""
         return _sample_pass2(self.lr, self.interm, self.hr, self._idx(temporal),
+                             key, batch, plane, temporal, self.st)
+
+    def sample_pass3(self, key, batch: int, temporal: bool = False,
+                     plane: str = "yz"):
+        """Pass-3 batch: {'final' (B,ts,ts,1), 'lr_vel' (B,ts,ts,3),
+        'hr' (B,ts,ts,1)} [+ prev/next]."""
+        return _sample_pass3(self.lr, self.final, self.hr, self._idx(temporal),
                              key, batch, plane, temporal, self.st)

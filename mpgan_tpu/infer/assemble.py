@@ -84,31 +84,59 @@ def pass2_volume(gen2, params2, interm: jnp.ndarray,
     return jnp.transpose(out, (1, 0, 2, 3))
 
 
+def pass3_volume(gen3, params3, vol: jnp.ndarray,
+                 lr_vel: jnp.ndarray | None, chunk: int = 0,
+                 mesh=None) -> jnp.ndarray:
+    """Optional third pass (SURVEY.md §2.7 "additional passes possible"):
+    constant-resolution refinement over yz slices of the full-res volume.
+
+    vol: (Zs, Ys, Xs, 1); slices are (Ys, Zs) planes per x, channel layout
+    [d, v_w=vz, v_h=vy, v_out=vx] (pipeline 'yz' convention)."""
+    zs, ys, xs, _ = vol.shape
+    if lr_vel is not None:
+        vel = jax.image.resize(lr_vel, (zs, ys, xs, 3), method="linear")
+        vel = vel[..., jnp.asarray([2, 1, 0])]
+        vol_in = jnp.concatenate([vol, vel], axis=-1)
+    else:
+        vol_in = vol
+    # slices over x: (Xs, Ys, Zs, C)  (h = y, w = z)
+    slices = jnp.transpose(vol_in, (2, 1, 0, 3))
+    fn = partial(gen3.apply, params3)
+    out = apply_sliced(fn, slices, chunk=chunk, mesh=mesh)
+    return jnp.transpose(out, (2, 1, 0, 3))
+
+
 def upscale_volume(gen1, params1, gen2, params2, lr_vol: jnp.ndarray,
                    up_res: int, stage: int | None = None, chunk: int = 0,
-                   mesh=None) -> jnp.ndarray:
-    """Full two-pass SR: (Z, Y, X, C) LR → (Z·s, Y·s, X·s, 1) HR density.
+                   mesh=None, gen3=None, params3=None) -> jnp.ndarray:
+    """Full multi-pass SR: (Z, Y, X, C) LR → (Z·s, Y·s, X·s, 1) HR density.
 
     lr_vol channels [d, vx, vy, vz] (or density-only). gen2=None → pass-1
-    only with nearest z-upsample (degenerate single-pass mode).
+    only with nearest z-upsample (degenerate single-pass mode); gen3 adds
+    the optional yz refinement pass.
     """
     interm = pass1_volume(gen1, params1, lr_vol, stage=stage, chunk=chunk,
                           mesh=mesh)
+    lr_vel = lr_vol[..., 1:4] if lr_vol.shape[-1] >= 4 else None
     if gen2 is None:
         return jnp.repeat(interm, up_res, axis=0)
-    lr_vel = lr_vol[..., 1:4] if lr_vol.shape[-1] >= 4 else None
-    return pass2_volume(gen2, params2, interm, lr_vel, up_res, stage=stage,
-                        chunk=chunk, mesh=mesh)
+    out = pass2_volume(gen2, params2, interm, lr_vel, up_res, stage=stage,
+                       chunk=chunk, mesh=mesh)
+    if gen3 is not None:
+        out = pass3_volume(gen3, params3, out, lr_vel, chunk=chunk, mesh=mesh)
+    return out
 
 
 def make_jitted_upscaler(gen1, params1, gen2, params2, up_res: int,
-                         stage: int | None = None, chunk: int = 0, mesh=None):
+                         stage: int | None = None, chunk: int = 0, mesh=None,
+                         gen3=None, params3=None):
     """jit-wrapped upscale_volume with params baked as traced args."""
     @jax.jit
-    def fn(p1, p2, lr_vol):
+    def fn(p1, p2, p3, lr_vol):
         return upscale_volume(gen1, p1, gen2, p2, lr_vol, up_res,
-                              stage=stage, chunk=chunk, mesh=mesh)
-    return lambda lr_vol: fn(params1, params2, lr_vol)
+                              stage=stage, chunk=chunk, mesh=mesh,
+                              gen3=gen3, params3=p3)
+    return lambda lr_vol: fn(params1, params2, params3, lr_vol)
 
 
 def precompute_intermediates(gen1, params1, lr_vols: jnp.ndarray,
@@ -121,6 +149,15 @@ def precompute_intermediates(gen1, params1, lr_vols: jnp.ndarray,
                          chunk=chunk, mesh=mesh))
     outs = [fn(lr_vols[i]) for i in range(lr_vols.shape[0])]
     return jnp.stack(outs)
+
+
+def precompute_finals(gen1, params1, gen2, params2, lr_vols: jnp.ndarray,
+                      up_res: int, chunk: int = 0, mesh=None) -> jnp.ndarray:
+    """Frozen two-pass sweep: (N, Z, Y, X, C) LR → (N, Z·s, Y·s, X·s, 1)
+    full-res volumes (pass-3 training inputs)."""
+    fn = jax.jit(partial(upscale_volume, gen1, params1, gen2, params2,
+                         up_res=up_res, chunk=chunk, mesh=mesh))
+    return jnp.stack([fn(lr_vols[i]) for i in range(lr_vols.shape[0])])
 
 
 def psnr_volume(fake: np.ndarray, real: np.ndarray, peak: float = 1.0) -> float:

@@ -137,3 +137,11 @@ def make_pass2(stages: int, base_filters: int = 32, n_res_blocks: int = 2,
     return Generator(factors=tuple((2, 1) for _ in range(stages)),
                      base_filters=base_filters, n_res_blocks=n_res_blocks,
                      dtype=dtype, remat=remat)
+
+
+def make_pass3(base_filters: int = 32, n_res_blocks: int = 2,
+               dtype=jnp.float32, remat: bool = False) -> Generator:
+    """Optional pass-3 refiner: constant resolution (factors (1,1)) over yz
+    slices of the full-res volume (SURVEY.md §2.7 'multi-pass')."""
+    return Generator(factors=((1, 1),), base_filters=base_filters,
+                     n_res_blocks=n_res_blocks, dtype=dtype, remat=remat)

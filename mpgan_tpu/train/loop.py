@@ -60,10 +60,13 @@ class StageRuntime:
     state: TrainState
 
 
+_PASS_INPUT_KEY = {1: "lr", 2: "interm", 3: "final"}
+
+
 def _g_input(batch: dict, pass_no: int) -> jnp.ndarray:
     if pass_no == 1:
         return batch["lr"]
-    parts = [batch["interm"]]
+    parts = [batch[_PASS_INPUT_KEY[pass_no]]]
     if "lr_vel" in batch:
         parts.append(batch["lr_vel"])
     return jnp.concatenate(parts, axis=-1)
@@ -72,7 +75,7 @@ def _g_input(batch: dict, pass_no: int) -> jnp.ndarray:
 def _g_input_shifted(batch: dict, pass_no: int, which: str) -> jnp.ndarray:
     if pass_no == 1:
         return batch[f"lr_{which}"]
-    parts = [batch[f"interm_{which}"]]
+    parts = [batch[f"{_PASS_INPUT_KEY[pass_no]}_{which}"]]
     if f"lr_vel_{which}" in batch:
         parts.append(batch[f"lr_vel_{which}"])
     return jnp.concatenate(parts, axis=-1)
@@ -97,16 +100,17 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
     s_full = tc.up_res                    # dataset's full SR factor
     n_stages_full = len(gen.factors)
     # Ds conditioning upsample factors (per-axis) for this pass
-    cond_f = (s_in, s_in) if pass_no == 1 else (s_in, 1)
+    # (pass 3 is a constant-resolution refiner: everything already HR)
+    cond_f = {1: (s_in, s_in), 2: (s_in, 1), 3: (1, 1)}[pass_no]
     # velocity: spatial resize of the (input-grid) field to the output grid,
     # and unit conversion LR cells → output-grid pixels per axis
-    vel_resize = (s_in, s_in) if pass_no == 1 else (s_in, 1)
-    unit_h = s_in
-    unit_w = s_in if pass_no == 1 else s_full  # pass-2 w axis is already HR
+    vel_resize = {1: (s_in, s_in), 2: (s_in, 1), 3: (1, 1)}[pass_no]
+    unit_h = s_in if pass_no != 3 else s_full
+    unit_w = s_in if pass_no == 1 else s_full
 
     def _stage_targets(b: dict) -> dict:
         """Downsample HR targets when training an intermediate growth stage."""
-        if stage == n_stages_full:
+        if stage == n_stages_full or pass_no == 3:
             return b
         out = dict(b)
         for k in ("hr", "hr_prev", "hr_next"):
@@ -128,9 +132,13 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
         if pass_no == 1:
             b = pipeline._sample_pass1(data["lr"], data["hrz"], data["didx"],
                                        key, batch_size, "xy", temporal, tc.st)
-        else:
+        elif pass_no == 2:
             b = pipeline._sample_pass2(data["lr"], data["interm"], data["hr"],
                                        data["didx"], key, batch_size, "xz",
+                                       temporal, tc.st)
+        else:
+            b = pipeline._sample_pass3(data["lr"], data["final"], data["hr"],
+                                       data["didx"], key, batch_size, "yz",
                                        temporal, tc.st)
         return pmesh.constrain_batch(_stage_targets(b), mesh)
 
@@ -168,6 +176,8 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
             v = batch["lr"][..., 1:3]       # (v_w, v_h) in LR units
         else:
             v = batch["lr_vel"][..., 0:2]
+        if vel_resize == (1, 1):
+            return v * jnp.asarray([unit_w, unit_h], dtype=v.dtype)
         b, h, w, _ = v.shape
         fh, fw = vel_resize
         v = jax.image.resize(v, (b, h * fh, w * fw, 2), method="linear")
@@ -274,7 +284,8 @@ class Trainer:
         self.mesh = mesh
         self.pass_no = pass_no if pass_no is not None else (
             1 if cfg.train.first_gen_run else 2)
-        self.n_stages = cfg.model.stages
+        # pass 3 is a single-stage refiner; growing does not apply
+        self.n_stages = 1 if self.pass_no == 3 else cfg.model.stages
         if cfg.train.use_growing:
             self.schedule = growing.GrowthSchedule(
                 self.n_stages, cfg.train.alpha_iters, cfg.train.stable_iters)
@@ -295,9 +306,13 @@ class Trainer:
                 self._data_cache = dict(
                     lr=tc.lr, hrz=tc.hrz,
                     didx=tc._idx(self.cfg.train.use_temporal_disc))
-            else:
+            elif self.pass_no == 2:
                 self._data_cache = dict(
                     lr=tc.lr, interm=tc.interm, hr=tc.hr,
+                    didx=tc._idx(self.cfg.train.use_temporal_disc))
+            else:
+                self._data_cache = dict(
+                    lr=tc.lr, final=tc.final, hr=tc.hr,
                     didx=tc._idx(self.cfg.train.use_temporal_disc))
         return self._data_cache
 
@@ -311,11 +326,15 @@ class Trainer:
                                mcfg.n_res_blocks, dtype=dtype,
                                remat=mcfg.remat)
             dfac = tuple((2, 2) for _ in range(self.n_stages))
-        else:
+        elif self.pass_no == 2:
             gen = G.make_pass2(self.n_stages, mcfg.n_base_filters,
                                mcfg.n_res_blocks, dtype=dtype,
                                remat=mcfg.remat)
             dfac = tuple((2, 1) for _ in range(self.n_stages))
+        else:
+            gen = G.make_pass3(mcfg.n_base_filters, mcfg.n_res_blocks,
+                               dtype=dtype, remat=mcfg.remat)
+            dfac = ((1, 1),)
         ds = D.make_spatial(self.n_stages, mcfg.disc_base_filters,
                             factors=dfac, dtype=dtype)
         dt = None
@@ -331,11 +350,17 @@ class Trainer:
             c_in = 1 + self.tc.st.n_vel + self.tc.st.n_vort
             x = jnp.zeros((1, t, t, c_in))
             cond = jnp.zeros((1, t * s, t * s, c_in + 1))
-        else:
+        elif self.pass_no == 2:
             # pass-2 input: intermediate density + velocity (no vorticity)
             c_in = 1 + self.tc.st.n_vel
             x = jnp.zeros((1, t, t * self.tc.up_res, c_in))
             cond = jnp.zeros((1, t * s, t * self.tc.up_res, c_in + 1))
+        else:
+            # pass-3 input: full-res density + velocity, constant resolution
+            c_in = 1 + self.tc.st.n_vel
+            ts = t * self.tc.up_res
+            x = jnp.zeros((1, ts, ts, c_in))
+            cond = jnp.zeros((1, ts, ts, c_in + 1))
         trip = jnp.zeros(cond.shape[:3] + (3,))
         return x, cond, trip
 

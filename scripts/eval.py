@@ -53,8 +53,11 @@ def main(argv=None):
     s = cfg.data.up_res
 
     psnrs, psnrs_tri = [], []
+    tdiffs, tdiffs_gt = [], []
+    prev_out = prev_gt = prev_vel = None
     for sim in range(cfg.data.from_sim, cfg.data.to_sim + 1):
         sim_dir = os.path.join(cfg.data.base_path, f"sim_{sim:04d}")
+        prev_out = prev_gt = prev_vel = None
         for f in range(cfg.infer.frame_min, cfg.infer.frame_max):
             dpath = os.path.join(sim_dir, loader.LOW_DENSITY % f)
             hpath = os.path.join(sim_dir, loader.HIGH_DENSITY % f)
@@ -62,6 +65,7 @@ def main(argv=None):
                 continue
             _, d = uni.readUni(dpath)
             chans = [d.astype(np.float32)]
+            v = None
             if cfg.data.use_velocities:
                 _, v = uni.readUni(os.path.join(sim_dir, loader.LOW_VELOCITY % f))
                 chans.append(v.astype(np.float32))
@@ -73,6 +77,19 @@ def main(argv=None):
                 jnp.asarray(d), (z * s, y * s, x * s, 1), "linear"))
             psnrs.append(assemble.psnr_volume(out, gt))
             psnrs_tri.append(assemble.psnr_volume(tri, gt))
+            # temporal-coherence metric (tempoGAN-style T_diff): mean |d_t −
+            # A(d_{t−1}; v_t)| — lower = smoother; compare model vs GT level
+            if v is not None and prev_out is not None:
+                from mpgan_tpu.ops.warp import advect_3d
+                v_hr = np.asarray(jax.image.resize(
+                    jnp.asarray(v), (z * s, y * s, x * s, 3), "linear")) * s
+                warp_prev = np.asarray(advect_3d(jnp.asarray(prev_out),
+                                                 jnp.asarray(v_hr), 1.0))
+                tdiffs.append(float(np.abs(out - warp_prev).mean()))
+                warp_gt = np.asarray(advect_3d(jnp.asarray(prev_gt),
+                                               jnp.asarray(v_hr), 1.0))
+                tdiffs_gt.append(float(np.abs(gt - warp_gt).mean()))
+            prev_out, prev_gt, prev_vel = out, gt, v
 
     result = {
         "frames": len(psnrs),
@@ -82,6 +99,9 @@ def main(argv=None):
         "trilinear_psnr_mean": round(float(np.mean(psnrs_tri)), 3),
         "two_pass": gen2 is not None,
     }
+    if tdiffs:
+        result["tdiff_mean"] = round(float(np.mean(tdiffs)), 5)
+        result["tdiff_gt_mean"] = round(float(np.mean(tdiffs_gt)), 5)
     print(json.dumps(result))
     return result
 

@@ -34,7 +34,13 @@ def main(argv=None):
     # extra flags, read before from_cli's checkUnusedParams
     load_test2 = int(ph.getParam("load_model_test2", -1))
     load_no2 = int(ph.getParam("load_model_no2", -1))
+    load_test3 = int(ph.getParam("load_model_test3", -1))
+    load_no3 = int(ph.getParam("load_model_no3", -1))
     pass2_source = ph.getParam("pass2Source", "gt")  # gt | g1
+    # trainPass 3 trains the optional yz refiner; pass3Source model uses the
+    # frozen two-pass outputs (load_model_test/no = G1, *_2 = G2) as inputs
+    train_pass = int(ph.getParam("trainPass", 0))    # 0 = use firstNN
+    pass3_source = ph.getParam("pass3Source", "gt")  # gt | model
     # training resume (pass-2 training uses load_model_test/no for the G1
     # source, so resume has its own flags there; for pass-1 training
     # load_model_test/no resume directly, as in the reference)
@@ -47,15 +53,18 @@ def main(argv=None):
     cfg = cfgmod.from_cli(None)  # parses the already-installed argv
 
     if cfg.infer.output_only:
-        run_inference(cfg, load_test2, load_no2)
+        run_inference(cfg, load_test2, load_no2, load_test3, load_no3)
     else:
         run_training(cfg, argv, pass2_source, resume_test, resume_no,
-                     warm_test, warm_no)
+                     warm_test, warm_no, train_pass, pass3_source,
+                     load_test2, load_no2)
 
 
 def run_training(cfg, argv, pass2_source: str = "gt",
                  resume_test: int = -1, resume_no: int = -1,
-                 warm_test: int = -1, warm_no: int = -1):
+                 warm_test: int = -1, warm_no: int = -1,
+                 train_pass: int = 0, pass3_source: str = "gt",
+                 load_test2: int = -1, load_no2: int = -1):
     import jax
     import jax.numpy as jnp
     from mpgan_tpu.data.loader import FluidDataLoader
@@ -70,8 +79,21 @@ def run_training(cfg, argv, pass2_source: str = "gt",
                          cfg.data.use_velocities, cfg.data.data_fraction,
                          use_vorticities=cfg.data.use_vorticities).get()
 
+    pass_no = train_pass if train_pass else (
+        1 if cfg.train.first_gen_run else 2)
+
+    final = None
+    if pass_no == 3 and pass3_source == "model":
+        from mpgan_tpu.infer import assemble
+        gen1, params1 = _load_gen(cfg, 1, cfg.train.load_model_test,
+                                  cfg.train.load_model_no)
+        gen2, params2 = _load_gen(cfg, 2, load_test2, load_no2)
+        final = assemble.precompute_finals(gen1, params1, gen2, params2,
+                                           jnp.asarray(ds.lr), cfg.data.up_res)
+        print(f"precomputed {final.shape[0]} two-pass output volumes")
+
     interm = None
-    if not cfg.train.first_gen_run and pass2_source == "g1":
+    if pass_no == 2 and pass2_source == "g1":
         # train G2 on frozen-G1 outputs (SURVEY.md §3.2): one inference sweep
         # over the dataset produces the pass-2 input volumes
         from mpgan_tpu.infer import assemble
@@ -83,12 +105,13 @@ def run_training(cfg, argv, pass2_source: str = "gt",
 
     tc = TileCreator(ds, cfg.data.tile_size_low, cfg.data.density_threshold,
                      cfg.data.augment, cfg.data.rot_mode,
-                     cfg.data.scale_min, cfg.data.scale_max, interm=interm)
+                     cfg.data.scale_min, cfg.data.scale_max, interm=interm,
+                     final=final)
     mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
     run = ckpt.next_run_dir(cfg.train.test_path)
     ckpt.save_param_log(run, cfg, argv)
     print(f"run dir: {run}; devices: {len(jax.devices())} "
-          f"({jax.default_backend()}); pass {'1' if cfg.train.first_gen_run else '2'}")
+          f"({jax.default_backend()}); pass {pass_no}")
 
     def on_checkpoint(trainer, it):
         no = it // cfg.train.save_interval
@@ -110,9 +133,14 @@ def run_training(cfg, argv, pass2_source: str = "gt",
         if trainer.pass_no == 1:
             b = tc.sample_pass1(preview_key, 4)
             x_in = b["lr"]
-        else:
+        elif trainer.pass_no == 2:
             b = tc.sample_pass2(preview_key, 4)
             x_in = jnp.concatenate([b["interm"]] +
+                                   ([b["lr_vel"]] if "lr_vel" in b else []),
+                                   axis=-1)
+        else:
+            b = tc.sample_pass3(preview_key, 4)
+            x_in = jnp.concatenate([b["final"]] +
                                    ([b["lr_vel"]] if "lr_vel" in b else []),
                                    axis=-1)
         fake = rt.gen.apply(rt.state.params_g, x_in, stage=rt.stage)
@@ -122,7 +150,7 @@ def run_training(cfg, argv, pass2_source: str = "gt",
             [jax.device_get(x_in[..., 0:1]), jax.device_get(fake),
              jax.device_get(b["hr"])])
 
-    tr = Trainer(cfg, tc, mesh=mesh)
+    tr = Trainer(cfg, tc, mesh=mesh, pass_no=pass_no)
     start_it = 0
     if warm_test >= 0:
         # fresh optimizers + discriminators, generator weights from a saved
@@ -149,11 +177,11 @@ def run_training(cfg, argv, pass2_source: str = "gt",
               f"training to {total_iters}")
     last = tr.fit(iters=total_iters, on_checkpoint=on_checkpoint,
                   on_log=on_log, start_it=start_it)
-    # final checkpoint
-    no = (cfg.train.training_iters // max(cfg.train.save_interval, 1)) \
-        if cfg.train.save_interval else 0
+    # final checkpoint: next free number after any periodic saves
+    no = (ckpt.latest_model_no(run) or -1) + 1 if ckpt.latest_model_no(run) \
+        is not None else 0
     ckpt.save(run, no, tr.rt.state,
-              dict(it=cfg.train.training_iters, stage=tr.rt.stage,
+              dict(it=total_iters, stage=tr.rt.stage,
                    pass_no=tr.pass_no, up_res=tc.up_res))
     ckpt.save_gen(run, no, tr.rt.state.params_g)
     print(f"done: {last}")
@@ -172,18 +200,26 @@ def _load_gen(cfg, pass_no, run_idx, model_no):
         model_no = ckpt.latest_model_no(run) or 0
     mcfg = cfg.model
     dtype = jnp.bfloat16 if mcfg.dtype == "bfloat16" else jnp.float32
-    maker = G.make_pass1 if pass_no == 1 else G.make_pass2
-    gen = maker(mcfg.stages, mcfg.n_base_filters, mcfg.n_res_blocks, dtype=dtype)
     t = cfg.data.tile_size_low
     c_in = 4 if cfg.data.use_velocities else 1
-    w = t if pass_no == 1 else t * cfg.data.up_res
-    template = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, t, w, c_in)),
-                        stage=mcfg.stages)
+    if pass_no == 1:
+        gen = G.make_pass1(mcfg.stages, mcfg.n_base_filters,
+                           mcfg.n_res_blocks, dtype=dtype)
+        h, w = t, t
+    elif pass_no == 2:
+        gen = G.make_pass2(mcfg.stages, mcfg.n_base_filters,
+                           mcfg.n_res_blocks, dtype=dtype)
+        h, w = t, t * cfg.data.up_res
+    else:
+        gen = G.make_pass3(mcfg.n_base_filters, mcfg.n_res_blocks, dtype=dtype)
+        h = w = t * cfg.data.up_res
+    template = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, c_in)))
     params = ckpt.restore_gen(run, model_no, template)
     return gen, params
 
 
-def run_inference(cfg, load_test2: int, load_no2: int):
+def run_inference(cfg, load_test2: int, load_no2: int,
+                  load_test3: int = -1, load_no3: int = -1):
     import jax
     import jax.numpy as jnp
     from mpgan_tpu.data import loader
@@ -194,15 +230,17 @@ def run_inference(cfg, load_test2: int, load_no2: int):
 
     gen1, params1 = _load_gen(cfg, 1, cfg.train.load_model_test,
                               cfg.train.load_model_no)
-    gen2 = params2 = None
+    gen2 = params2 = gen3 = params3 = None
     if load_test2 >= 0:
         gen2, params2 = _load_gen(cfg, 2, load_test2, load_no2)
+    if load_test3 >= 0:
+        gen3, params3 = _load_gen(cfg, 3, load_test3, load_no3)
 
     mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
     out_dir = ckpt.next_run_dir(cfg.train.test_path)
     upscale = assemble.make_jitted_upscaler(
         gen1, params1, gen2, params2, cfg.data.up_res,
-        chunk=cfg.infer.slice_chunk, mesh=mesh)
+        chunk=cfg.infer.slice_chunk, mesh=mesh, gen3=gen3, params3=params3)
 
     for sim in range(cfg.data.from_sim, cfg.data.to_sim + 1):
         sim_dir = os.path.join(cfg.data.base_path, f"sim_{sim:04d}")

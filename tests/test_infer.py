@@ -106,3 +106,14 @@ def test_run_dir_indexing(tmp_path):
     r1 = ckpt.next_run_dir(str(tmp_path))
     assert r0.endswith("test_0000") and r1.endswith("test_0001")
     assert ckpt.latest_model_no(r0) is None
+
+
+def test_three_pass_volume_shapes():
+    g1, p1, g2, p2 = _gens(stages=1)
+    g3 = G.make_pass3(base_filters=8, n_res_blocks=1)
+    p3 = g3.init(jax.random.PRNGKey(9), jnp.zeros((1, 16, 16, 4)))
+    lr = jnp.asarray(np.random.default_rng(5).random((6, 8, 10, 4), np.float32))
+    out = assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=2,
+                                  gen3=g3, params3=p3)
+    assert out.shape == (12, 16, 20, 1)
+    assert np.isfinite(np.asarray(out)).all()

@@ -241,3 +241,21 @@ def test_8x_growing_full_schedule():
     stages_seen = {m["stage"] for m in tr.metrics_log}
     assert stages_seen == {1, 2, 3}, stages_seen
     assert np.isfinite(out["g_loss"])
+
+
+def test_pass3_training_runs():
+    """Optional third pass (yz refinement, SURVEY 2.7): constant-res patches
+    train end-to-end; also with temporal triplets."""
+    ds = _dataset()
+    cfg = _config(stages=1)
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    out = Trainer(cfg, tc, pass_no=3).fit(iters=3, log_every=1)
+    assert np.isfinite(out["g_loss"])
+
+
+def test_pass3_temporal_training_runs():
+    ds = _dataset()
+    cfg = _config(stages=1, temporal=True)
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    out = Trainer(cfg, tc, pass_no=3).fit(iters=2, log_every=1)
+    assert np.isfinite(out["dt_loss"])
