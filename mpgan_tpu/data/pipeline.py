@@ -371,7 +371,8 @@ class TileCreator:
             if z_factor <= 1:
                 self._dev["hrz"] = self.hr
             else:
-                fn = jax.jit(partial(downsample_axis, factor=z_factor, axis=1))
+                # per-volume: z is axis 0 of a single (Z, Y, X, C) volume
+                fn = jax.jit(partial(downsample_axis, factor=z_factor, axis=0))
                 self._dev["hrz"] = jnp.stack(
                     [fn(jnp.asarray(self._host_hr[i]))
                      for i in range(self._host_hr.shape[0])])

@@ -205,3 +205,16 @@ def test_vorticity_pseudovector_under_flip():
     assert np.allclose(out[..., 4], 1.0)    # w_w: det·(-w_w) = +1
     assert np.allclose(out[..., 5], -5.0)   # w_h: det·(+w_h) = -5
     assert np.allclose(out[..., 6], -7.0)   # w_out: det·w_out = -7
+
+
+def test_hrz_matches_stack_downsample():
+    """Regression: per-volume lazy hrz must equal downsampling the whole
+    stack along the z axis (a wrong-axis bug silently corrupted pass-1
+    targets once)."""
+    from mpgan_tpu.ops.resample import downsample_axis
+    ds = _synthetic_dataset(s=2)
+    tc = pipeline.TileCreator(ds, tile_lr=8)
+    want = np.asarray(downsample_axis(jnp.asarray(ds.hr), 2, axis=1))
+    np.testing.assert_allclose(np.asarray(tc.hrz), want, atol=1e-5)
+    assert tc.hrz.shape == (ds.hr.shape[0], ds.lr.shape[1],
+                            ds.hr.shape[2], ds.hr.shape[3], 1)
