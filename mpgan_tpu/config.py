@@ -61,6 +61,7 @@ class LossConfig:
     lambda_t: float = 1.0           # kt — temporal adversarial
     lambda_f: float = 1e-5          # kf — Ds feature-space loss
     gan_loss: str = "sce"           # sigmoid cross-entropy (reference default)
+    label_smooth: float = 0.0       # one-sided D label smoothing (real→1−ε)
     # temporal-warp backend: "auto" = Pallas kernel on TPU, XLA elsewhere
     warp_backend: str = "auto"      # auto | pallas | xla
     warp_max_disp: int = 8          # Pallas warp displacement clamp (HR px)
@@ -172,6 +173,7 @@ def from_cli(argv: list[str] | None = None) -> Config:
         lambda_t=g("kt", LossConfig.lambda_t),
         lambda_f=g("kf", LossConfig.lambda_f),
         gan_loss=g("ganLoss", LossConfig.gan_loss),
+        label_smooth=g("labelSmooth", LossConfig.label_smooth),
     )
     train = TrainConfig(
         training_iters=g("trainingIters", TrainConfig.training_iters),

@@ -189,13 +189,15 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
         real_in = D.condition_ds_input(x_in, batch["hr"], *cond_f)
         fake_in = D.condition_ds_input(x_in, fake, *cond_f)
         loss_ds = losses.d_loss(ds_apply(p_ds, real_in, alpha),
-                                ds_apply(p_ds, fake_in, alpha))
+                                ds_apply(p_ds, fake_in, alpha),
+                                lcfg.label_smooth)
         loss_dt = 0.0
         if temporal:
             trip_fake = jax.lax.stop_gradient(aligned_fakes(p_g, batch, alpha))
             trip_real = aligned_reals(batch)
             loss_dt = losses.d_loss(dt_apply(p_dt, trip_real, alpha),
-                                    dt_apply(p_dt, trip_fake, alpha))
+                                    dt_apply(p_dt, trip_fake, alpha),
+                                    lcfg.label_smooth)
         return loss_ds, loss_dt
 
     def g_loss(p_g, p_ds, p_dt, batch, alpha):

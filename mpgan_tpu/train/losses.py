@@ -28,8 +28,12 @@ def bce_logits(logits: jnp.ndarray, target: float) -> jnp.ndarray:
         jnp.maximum(logits, 0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits))))
 
 
-def d_loss(real_logits: jnp.ndarray, fake_logits: jnp.ndarray) -> jnp.ndarray:
-    return bce_logits(real_logits, 1.0) + bce_logits(fake_logits, 0.0)
+def d_loss(real_logits: jnp.ndarray, fake_logits: jnp.ndarray,
+           label_smooth: float = 0.0) -> jnp.ndarray:
+    """Discriminator SCE; one-sided label smoothing (real → 1−ε) tempers
+    discriminator overconfidence (observed: Dt collapse at scale)."""
+    return (bce_logits(real_logits, 1.0 - label_smooth)
+            + bce_logits(fake_logits, 0.0))
 
 
 def g_adv_loss(fake_logits: jnp.ndarray) -> jnp.ndarray:

@@ -259,3 +259,11 @@ def test_pass3_temporal_training_runs():
     tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
     out = Trainer(cfg, tc, pass_no=3).fit(iters=2, log_every=1)
     assert np.isfinite(out["dt_loss"])
+
+
+def test_label_smoothing_changes_d_loss():
+    logits_r = jnp.asarray([3.0, 2.0])
+    logits_f = jnp.asarray([-3.0, -2.0])
+    plain = float(losses.d_loss(logits_r, logits_f))
+    smooth = float(losses.d_loss(logits_r, logits_f, 0.1))
+    assert smooth > plain  # confident D is penalized under smoothing
