@@ -80,17 +80,17 @@ class FluidDataLoader:
             if os.path.exists(os.path.join(sim_dir, LOW_DENSITY % f)):
                 frames.append(f)
         if self.data_fraction < 1.0 and frames:
+            # contiguous prefix, NOT strided: temporal triplets assume
+            # adjacent array indices are adjacent sim frames (dt = 1)
             keep = max(1, int(len(frames) * self.data_fraction))
-            step = max(1, len(frames) // keep)
-            frames = frames[::step][:keep]
+            frames = frames[:keep]
         return frames
 
     def get(self) -> FluidDataset:
         """Load all sims/frames. Uses the native parallel codec when built
         (mpgan_tpu.io.native — ~#cores× faster for dataset-scale loads);
         falls back to the pure-Python decoder otherwise."""
-        d_paths, v_paths, h_paths = [], [], []
-        n_frames = None
+        per_sim: list[tuple[str, list[int]]] = []
         for sim in self.sims:
             sim_dir = os.path.join(self.base_path, f"sim_{sim:04d}")
             if not os.path.isdir(sim_dir):
@@ -98,11 +98,14 @@ class FluidDataLoader:
             frames = self._frames_for(sim_dir)
             if not frames:
                 raise FileNotFoundError(f"no frames in {sim_dir}")
-            if n_frames is None:
-                n_frames = len(frames)
-            elif len(frames) != n_frames:
-                frames = frames[:n_frames]
-            for f in frames:
+            per_sim.append((sim_dir, frames))
+        # truncate every sim to the global minimum so N == n_sims·n_frames
+        # (frame arithmetic in the tile creator relies on a rectangular grid;
+        # uneven counts would let temporal triplets cross sim boundaries)
+        n_frames = min(len(fr) for _, fr in per_sim)
+        d_paths, v_paths, h_paths = [], [], []
+        for sim_dir, frames in per_sim:
+            for f in frames[:n_frames]:
                 d_paths.append(os.path.join(sim_dir, LOW_DENSITY % f))
                 if self.use_velocities:
                     v_paths.append(os.path.join(sim_dir, LOW_VELOCITY % f))

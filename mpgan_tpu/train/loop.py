@@ -63,6 +63,12 @@ class StageRuntime:
 _PASS_INPUT_KEY = {1: "lr", 2: "interm", 3: "final"}
 
 
+def _make_opt(cfg: Config) -> optax.GradientTransformation:
+    """Single source of truth for the optimizer (init and updates must match)."""
+    return optax.adam(cfg.train.learning_rate, b1=cfg.train.beta1,
+                      eps=cfg.train.adam_eps)
+
+
 def _g_input(batch: dict, pass_no: int) -> jnp.ndarray:
     if pass_no == 1:
         return batch["lr"]
@@ -95,6 +101,10 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
     """
     lcfg = cfg.loss
     temporal = dt is not None
+    if temporal and tc.st.n_vel == 0:
+        raise ValueError(
+            "useTempoD requires velocity channels (useVelocities 1): the "
+            "temporal discriminator aligns frames by advection")
     batch_size = cfg.train.batch_size
     s_in = 2 ** stage                     # growth factor at this stage
     s_full = tc.up_res                    # dataset's full SR factor
@@ -123,10 +133,8 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
                 out[k] = jax.image.resize(b[k], new, method="linear")
         return out
 
-    opt_g = optax.adam(cfg.train.learning_rate, b1=cfg.train.beta1,
-                       eps=cfg.train.adam_eps)
-    opt_d = optax.adam(cfg.train.learning_rate, b1=cfg.train.beta1,
-                       eps=cfg.train.adam_eps)
+    opt_g = _make_opt(cfg)
+    opt_d = _make_opt(cfg)
 
     def sample(data, key):
         if pass_no == 1:
@@ -223,37 +231,43 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
         return total, aux
 
     def step_core(state: TrainState, data, key, alpha):
-        kd, kg = jax.random.split(key)
+        # discRuns D-updates then genRuns G-updates, a fresh batch each
+        # (reference §2.11 alternation); loops unroll at trace time
+        params_ds, opt_ds_state = state.params_ds, state.opt_ds
+        params_dt, opt_dt_state = state.params_dt, state.opt_dt
+        loss_ds, loss_dt = 0.0, 0.0
+        for i in range(max(cfg.train.disc_runs, 1)):
+            key, kd = jax.random.split(key)
+            batch_d = sample(data, kd)
 
-        # --- discriminator update (fresh batch, like the reference's discRuns)
-        batch_d = sample(data, kd)
-
-        def ds_obj(p_ds):
-            l_ds, _ = d_losses(p_ds, state.params_dt, state.params_g,
-                               batch_d, alpha)
-            return l_ds
-        loss_ds, grads_ds = jax.value_and_grad(ds_obj)(state.params_ds)
-        upd, opt_ds_state = opt_d.update(grads_ds, state.opt_ds, state.params_ds)
-        params_ds = optax.apply_updates(state.params_ds, upd)
-
-        params_dt, opt_dt_state, loss_dt = state.params_dt, state.opt_dt, 0.0
-        if temporal:
-            def dt_obj(p_dt):
-                _, l_dt = d_losses(params_ds, p_dt, state.params_g,
+            def ds_obj(p_ds):
+                l_ds, _ = d_losses(p_ds, params_dt, state.params_g,
                                    batch_d, alpha)
-                return l_dt
-            loss_dt, grads_dt = jax.value_and_grad(dt_obj)(state.params_dt)
-            upd, opt_dt_state = opt_d.update(grads_dt, state.opt_dt,
-                                             state.params_dt)
-            params_dt = optax.apply_updates(state.params_dt, upd)
+                return l_ds
+            loss_ds, grads_ds = jax.value_and_grad(ds_obj)(params_ds)
+            upd, opt_ds_state = opt_d.update(grads_ds, opt_ds_state, params_ds)
+            params_ds = optax.apply_updates(params_ds, upd)
 
-        # --- generator update (fresh batch)
-        batch_g = sample(data, kg)
-        (loss_g, aux), grads_g = jax.value_and_grad(
-            g_loss, has_aux=True)(state.params_g, params_ds, params_dt,
-                                  batch_g, alpha)
-        upd, opt_g_state = opt_g.update(grads_g, state.opt_g, state.params_g)
-        params_g = optax.apply_updates(state.params_g, upd)
+            if temporal:
+                def dt_obj(p_dt):
+                    _, l_dt = d_losses(params_ds, p_dt, state.params_g,
+                                       batch_d, alpha)
+                    return l_dt
+                loss_dt, grads_dt = jax.value_and_grad(dt_obj)(params_dt)
+                upd, opt_dt_state = opt_d.update(grads_dt, opt_dt_state,
+                                                 params_dt)
+                params_dt = optax.apply_updates(params_dt, upd)
+
+        params_g, opt_g_state = state.params_g, state.opt_g
+        loss_g, aux = 0.0, {}
+        for i in range(max(cfg.train.gen_runs, 1)):
+            key, kg = jax.random.split(key)
+            batch_g = sample(data, kg)
+            (loss_g, aux), grads_g = jax.value_and_grad(
+                g_loss, has_aux=True)(params_g, params_ds, params_dt,
+                                      batch_g, alpha)
+            upd, opt_g_state = opt_g.update(grads_g, opt_g_state, params_g)
+            params_g = optax.apply_updates(params_g, upd)
 
         metrics = dict(d_loss=loss_ds, dt_loss=loss_dt, g_loss=loss_g, **aux)
         new_state = TrainState(params_g, opt_g_state, params_ds, opt_ds_state,
@@ -386,10 +400,8 @@ class Trainer:
                                      if k != "out"}}
                 params_dt = growing.migrate_params(old_dt, params_dt)
 
-        opt_g = optax.adam(self.cfg.train.learning_rate,
-                           b1=self.cfg.train.beta1, eps=self.cfg.train.adam_eps)
-        opt_d = optax.adam(self.cfg.train.learning_rate,
-                           b1=self.cfg.train.beta1, eps=self.cfg.train.adam_eps)
+        opt_g = _make_opt(self.cfg)
+        opt_d = _make_opt(self.cfg)
         state = TrainState(
             params_g=params_g, opt_g=opt_g.init(params_g),
             params_ds=params_ds, opt_ds=opt_d.init(params_ds),

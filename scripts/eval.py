@@ -38,7 +38,7 @@ def main(argv=None):
     from mpgan_tpu.io import uni
     from mpgan_tpu.parallel import mesh as pmesh
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from multipass_gan import _load_gen
+    from multipass_gan import _load_gen, _read_uni
 
     gen1, params1 = _load_gen(cfg, 1, cfg.train.load_model_test,
                               cfg.train.load_model_no)
@@ -63,14 +63,14 @@ def main(argv=None):
             hpath = os.path.join(sim_dir, loader.HIGH_DENSITY % f)
             if not (os.path.exists(dpath) and os.path.exists(hpath)):
                 continue
-            _, d = uni.readUni(dpath)
+            d = _read_uni(dpath)
             chans = [d.astype(np.float32)]
             v = None
             if cfg.data.use_velocities:
-                _, v = uni.readUni(os.path.join(sim_dir, loader.LOW_VELOCITY % f))
+                v = _read_uni(os.path.join(sim_dir, loader.LOW_VELOCITY % f))
                 chans.append(v.astype(np.float32))
             lr = jnp.asarray(np.concatenate(chans, axis=-1))
-            _, gt = uni.readUni(hpath)
+            gt = _read_uni(hpath)
             out = np.asarray(upscale(lr))
             z, y, x, _ = d.shape
             tri = np.asarray(jax.image.resize(

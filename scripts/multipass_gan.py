@@ -123,6 +123,8 @@ def run_training(cfg, argv, pass2_source: str = "gt",
 
     writer = preview.MetricsWriter(run)
     preview_key = jax.random.PRNGKey(12345)
+    preview_fns = {}  # (id(gen), stage) -> jitted forward (eager apply would
+    # pay ~33 ms/primitive through the remote-dispatch tunnel)
 
     def on_log(trainer, metrics):
         print("  " + " ".join(f"{k}={v:.4g}" if isinstance(v, float) else
@@ -143,7 +145,12 @@ def run_training(cfg, argv, pass2_source: str = "gt",
             x_in = jnp.concatenate([b["final"]] +
                                    ([b["lr_vel"]] if "lr_vel" in b else []),
                                    axis=-1)
-        fake = rt.gen.apply(rt.state.params_g, x_in, stage=rt.stage)
+        key_fn = (id(rt.gen), rt.stage)
+        if key_fn not in preview_fns:
+            gen, stage = rt.gen, rt.stage
+            preview_fns[key_fn] = jax.jit(
+                lambda p, x, g=gen, st=stage: g.apply(p, x, stage=st))
+        fake = preview_fns[key_fn](rt.state.params_g, x_in)
         it = metrics["it"]
         preview.save_patch_grid(
             os.path.join(run, f"preview_{it + 1:06d}.png"),
@@ -165,7 +172,9 @@ def run_training(cfg, argv, pass2_source: str = "gt",
                              tr.rt.step_fade, tr.rt.step_stable,
                              tr.rt.state._replace(params_g=params_g))
         print(f"warm-started generator from {prev_run}/gen_{no:04d}")
-    if cfg.train.first_gen_run and cfg.train.load_model_test >= 0:
+    if pass_no == 1 and warm_test < 0 and cfg.train.load_model_test >= 0:
+        # pass-1 semantics: load_model_* resumes training (reference behavior);
+        # for pass 2/3 those flags name the frozen upstream generators instead
         resume_test, resume_no = cfg.train.load_model_test, cfg.train.load_model_no
     total_iters = cfg.train.training_iters
     if resume_test >= 0:
@@ -218,6 +227,14 @@ def _load_gen(cfg, pass_no, run_idx, model_no):
     return gen, params
 
 
+def _read_uni(path):
+    """Decode one .uni volume, preferring the native parallel codec."""
+    from mpgan_tpu.io import native, uni
+    if native.available():
+        return native.read(path)
+    return uni.readUni(path)[1]
+
+
 def run_inference(cfg, load_test2: int, load_no2: int,
                   load_test3: int = -1, load_no3: int = -1):
     import jax
@@ -248,10 +265,10 @@ def run_inference(cfg, load_test2: int, load_no2: int,
             dpath = os.path.join(sim_dir, loader.LOW_DENSITY % f)
             if not os.path.exists(dpath):
                 continue
-            _, d = uni.readUni(dpath)
+            d = _read_uni(dpath)
             chans = [d.astype(np.float32)]
             if cfg.data.use_velocities:
-                _, v = uni.readUni(os.path.join(sim_dir, loader.LOW_VELOCITY % f))
+                v = _read_uni(os.path.join(sim_dir, loader.LOW_VELOCITY % f))
                 chans.append(v.astype(np.float32))
             lr = jnp.asarray(np.concatenate(chans, axis=-1))
             hr = np.asarray(upscale(lr))

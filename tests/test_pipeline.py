@@ -218,3 +218,23 @@ def test_hrz_matches_stack_downsample():
     np.testing.assert_allclose(np.asarray(tc.hrz), want, atol=1e-5)
     assert tc.hrz.shape == (ds.hr.shape[0], ds.lr.shape[1],
                             ds.hr.shape[2], ds.hr.shape[3], 1)
+
+
+def test_loader_truncates_to_min_frames(tmp_path):
+    """Sims with uneven frame counts are truncated to the global minimum so
+    temporal triplets never cross sim boundaries."""
+    from mpgan_tpu.io import uni as uni_io
+    import os
+    rng = np.random.default_rng(13)
+    for sim, n in ((1000, 4), (1001, 2)):
+        d = str(tmp_path / f"sim_{sim:04d}")
+        os.makedirs(d)
+        for f in range(n):
+            uni_io.write_density(os.path.join(d, f"density_low_{f:04d}.uni"),
+                                 rng.random((4, 4, 4), dtype=np.float32))
+            uni_io.write_velocity(os.path.join(d, f"velocity_low_{f:04d}.uni"),
+                                  rng.random((4, 4, 4, 3), dtype=np.float32))
+            uni_io.write_density(os.path.join(d, f"density_high_{f:04d}.uni"),
+                                 rng.random((8, 8, 8), dtype=np.float32))
+    ds = FluidDataLoader(str(tmp_path), 1000, 1001, frame_max=4).get()
+    assert ds.n_frames == 2 and ds.lr.shape[0] == 4

@@ -267,3 +267,26 @@ def test_label_smoothing_changes_d_loss():
     plain = float(losses.d_loss(logits_r, logits_f))
     smooth = float(losses.d_loss(logits_r, logits_f, 0.1))
     assert smooth > plain  # confident D is penalized under smoothing
+
+
+def test_temporal_without_velocities_rejected():
+    rng = np.random.default_rng(9)
+    lr = rng.random((4, 12, 20, 20, 1), dtype=np.float32)  # density only
+    hr = rng.random((4, 24, 40, 40, 1), dtype=np.float32)
+    ds = FluidDataset(lr=lr, hr=hr, n_sims=1, n_frames=4, up_res=2)
+    cfg = _config(stages=1, temporal=True)
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0)
+    with pytest.raises(ValueError, match="useTempoD"):
+        Trainer(cfg, tc).fit(iters=1)
+
+
+def test_disc_and_gen_runs_ratio():
+    """discRuns/genRuns control the update alternation (reference §2.11)."""
+    import dataclasses
+    ds = _dataset()
+    cfg = _config(stages=1)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, disc_runs=2, gen_runs=2))
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    out = Trainer(cfg, tc).fit(iters=2, log_every=1)
+    assert np.isfinite(out["g_loss"])
