@@ -60,8 +60,10 @@ class LossConfig:
     lambda_adv: float = 1.0         # adversarial (spatial)
     lambda_t: float = 1.0           # kt — temporal adversarial
     lambda_f: float = 1e-5          # kf — Ds feature-space loss
-    gan_loss: str = "sce"           # sigmoid cross-entropy (reference default)
+    gan_loss: str = "sce"           # sce | lsgan | hinge | wgan (ref default sce)
     label_smooth: float = 0.0       # one-sided D label smoothing (real→1−ε)
+    r1_gamma: float = 0.0           # R1 penalty γ on D real-input grads (0=off)
+    gp_weight: float = 0.0          # WGAN-GP weight (0=off; pair with wgan)
     # temporal-warp backend: "auto" = Pallas kernel on TPU, XLA elsewhere
     warp_backend: str = "auto"      # auto | pallas | xla
     warp_max_disp: int = 8          # Pallas warp displacement clamp (HR px)
@@ -72,6 +74,7 @@ class TrainConfig:
     training_iters: int = 10000
     batch_size: int = 16
     learning_rate: float = 2e-4     # lrgan
+    lr_disc: float = -1.0           # lrdisc — D learning rate (TTUR); -1 = lrgan
     beta1: float = 0.5
     adam_eps: float = 1e-8
     disc_runs: int = 1
@@ -174,11 +177,14 @@ def from_cli(argv: list[str] | None = None) -> Config:
         lambda_f=g("kf", LossConfig.lambda_f),
         gan_loss=g("ganLoss", LossConfig.gan_loss),
         label_smooth=g("labelSmooth", LossConfig.label_smooth),
+        r1_gamma=g("r1Gamma", LossConfig.r1_gamma),
+        gp_weight=g("gpWeight", LossConfig.gp_weight),
     )
     train = TrainConfig(
         training_iters=g("trainingIters", TrainConfig.training_iters),
         batch_size=g("batchSize", TrainConfig.batch_size),
         learning_rate=g("lrgan", TrainConfig.learning_rate),
+        lr_disc=g("lrdisc", TrainConfig.lr_disc),
         beta1=g("beta1", TrainConfig.beta1),
         adam_eps=g("adamEps", TrainConfig.adam_eps),
         disc_runs=g("discRuns", TrainConfig.disc_runs),

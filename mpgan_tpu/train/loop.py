@@ -63,10 +63,16 @@ class StageRuntime:
 _PASS_INPUT_KEY = {1: "lr", 2: "interm", 3: "final"}
 
 
-def _make_opt(cfg: Config) -> optax.GradientTransformation:
-    """Single source of truth for the optimizer (init and updates must match)."""
-    return optax.adam(cfg.train.learning_rate, b1=cfg.train.beta1,
-                      eps=cfg.train.adam_eps)
+def _make_opt(cfg: Config, disc: bool = False) -> optax.GradientTransformation:
+    """Single source of truth for the optimizer (init and updates must match).
+
+    disc=True uses ``lrdisc`` when set (TTUR — Heusel et al. 2017: a faster
+    discriminator clock stabilizes GAN training without genRuns/discRuns
+    imbalance)."""
+    lr = cfg.train.learning_rate
+    if disc and cfg.train.lr_disc > 0:
+        lr = cfg.train.lr_disc
+    return optax.adam(lr, b1=cfg.train.beta1, eps=cfg.train.adam_eps)
 
 
 def _g_input(batch: dict, pass_no: int) -> jnp.ndarray:
@@ -134,7 +140,7 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
         return out
 
     opt_g = _make_opt(cfg)
-    opt_d = _make_opt(cfg)
+    opt_d = _make_opt(cfg, disc=True)
 
     def sample(data, key):
         if pass_no == 1:
@@ -191,21 +197,35 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
         v = jax.image.resize(v, (b, h * fh, w * fw, 2), method="linear")
         return v * jnp.asarray([unit_w, unit_h], dtype=v.dtype)
 
-    def d_losses(p_ds, p_dt, p_g, batch, alpha):
+    def d_losses(p_ds, p_dt, p_g, batch, alpha, key):
         x_in = _g_input(batch, pass_no)
         fake = jax.lax.stop_gradient(gen_apply(p_g, x_in, alpha))
         real_in = D.condition_ds_input(x_in, batch["hr"], *cond_f)
         fake_in = D.condition_ds_input(x_in, fake, *cond_f)
         loss_ds = losses.d_loss(ds_apply(p_ds, real_in, alpha),
                                 ds_apply(p_ds, fake_in, alpha),
-                                lcfg.label_smooth)
+                                lcfg.label_smooth, lcfg.gan_loss)
+        ks, kt = jax.random.split(key)
+        if lcfg.r1_gamma > 0:
+            loss_ds = loss_ds + 0.5 * lcfg.r1_gamma * losses.r1_penalty(
+                lambda x: ds_apply(p_ds, x, alpha), real_in)
+        if lcfg.gp_weight > 0:
+            loss_ds = loss_ds + lcfg.gp_weight * losses.gradient_penalty(
+                lambda x: ds_apply(p_ds, x, alpha), real_in, fake_in, ks)
         loss_dt = 0.0
         if temporal:
             trip_fake = jax.lax.stop_gradient(aligned_fakes(p_g, batch, alpha))
             trip_real = aligned_reals(batch)
             loss_dt = losses.d_loss(dt_apply(p_dt, trip_real, alpha),
                                     dt_apply(p_dt, trip_fake, alpha),
-                                    lcfg.label_smooth)
+                                    lcfg.label_smooth, lcfg.gan_loss)
+            if lcfg.r1_gamma > 0:
+                loss_dt = loss_dt + 0.5 * lcfg.r1_gamma * losses.r1_penalty(
+                    lambda x: dt_apply(p_dt, x, alpha), trip_real)
+            if lcfg.gp_weight > 0:
+                loss_dt = loss_dt + lcfg.gp_weight * losses.gradient_penalty(
+                    lambda x: dt_apply(p_dt, x, alpha), trip_real, trip_fake,
+                    kt)
         return loss_ds, loss_dt
 
     def g_loss(p_g, p_ds, p_dt, batch, alpha):
@@ -217,13 +237,14 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
         _, feats_real = ds_apply(p_ds, real_in, alpha, feats=True)
         feats_real = jax.lax.stop_gradient(feats_real)
 
-        l_adv = losses.g_adv_loss(fake_logits)
+        l_adv = losses.g_adv_loss(fake_logits, lcfg.gan_loss)
         l_l1 = losses.l1_loss(fake, batch["hr"])
         l_f = losses.feature_loss(feats_real, feats_fake)
         l_t = 0.0
         if temporal:
             trip_fake = aligned_fakes(p_g, batch, alpha)
-            l_t = losses.g_adv_loss(dt_apply(p_dt, trip_fake, alpha))
+            l_t = losses.g_adv_loss(dt_apply(p_dt, trip_fake, alpha),
+                                    lcfg.gan_loss)
         total = (lcfg.lambda_adv * l_adv + lcfg.lambda_l1 * l_l1
                  + lcfg.lambda_f * l_f + lcfg.lambda_t * l_t)
         aux = dict(g_adv=l_adv, l1=l_l1, feat=l_f, g_t=l_t,
@@ -237,12 +258,12 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
         params_dt, opt_dt_state = state.params_dt, state.opt_dt
         loss_ds, loss_dt = 0.0, 0.0
         for i in range(max(cfg.train.disc_runs, 1)):
-            key, kd = jax.random.split(key)
+            key, kd, kp = jax.random.split(key, 3)
             batch_d = sample(data, kd)
 
             def ds_obj(p_ds):
                 l_ds, _ = d_losses(p_ds, params_dt, state.params_g,
-                                   batch_d, alpha)
+                                   batch_d, alpha, kp)
                 return l_ds
             loss_ds, grads_ds = jax.value_and_grad(ds_obj)(params_ds)
             upd, opt_ds_state = opt_d.update(grads_ds, opt_ds_state, params_ds)
@@ -251,7 +272,7 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
             if temporal:
                 def dt_obj(p_dt):
                     _, l_dt = d_losses(params_ds, p_dt, state.params_g,
-                                       batch_d, alpha)
+                                       batch_d, alpha, kp)
                     return l_dt
                 loss_dt, grads_dt = jax.value_and_grad(dt_obj)(params_dt)
                 upd, opt_dt_state = opt_d.update(grads_dt, opt_dt_state,
@@ -401,7 +422,7 @@ class Trainer:
                 params_dt = growing.migrate_params(old_dt, params_dt)
 
         opt_g = _make_opt(self.cfg)
-        opt_d = _make_opt(self.cfg)
+        opt_d = _make_opt(self.cfg, disc=True)
         state = TrainState(
             params_g=params_g, opt_g=opt_g.init(params_g),
             params_ds=params_ds, opt_ds=opt_d.init(params_ds),

@@ -5,7 +5,12 @@ Total generator loss:
         + λ_L1·‖G(x) − y‖₁ + λ_f·Σ_j ‖F_j(real) − F_j(fake)‖²
 
 Discriminators train with sigmoid cross-entropy real→1 / fake→0 (the
-reference's loss family; no WGAN-GP — SURVEY.md §2.8 verify-note).
+reference's loss family). SURVEY.md §2.8's verify-note asks whether the
+reference offers WGAN-GP/LSGAN variants for growing stability; with the mount
+empty that cannot be confirmed, so the rebuild provides the full family as
+selectable modes (``ganLoss sce|lsgan|hinge|wgan``) plus ProGAN-style R1 and
+WGAN-GP gradient penalties (``r1Gamma`` / ``gpWeight``) — the stabilizers the
+progressive-growing literature pairs with these losses.
 
 Temporal alignment (tempoGAN §3.2): neighbors are advected to the center
 frame's time with the center frame's velocity — A(y_{t−1}; +v), y_t,
@@ -29,15 +34,60 @@ def bce_logits(logits: jnp.ndarray, target: float) -> jnp.ndarray:
 
 
 def d_loss(real_logits: jnp.ndarray, fake_logits: jnp.ndarray,
-           label_smooth: float = 0.0) -> jnp.ndarray:
-    """Discriminator SCE; one-sided label smoothing (real → 1−ε) tempers
-    discriminator overconfidence (observed: Dt collapse at scale)."""
-    return (bce_logits(real_logits, 1.0 - label_smooth)
-            + bce_logits(fake_logits, 0.0))
+           label_smooth: float = 0.0, mode: str = "sce") -> jnp.ndarray:
+    """Discriminator adversarial loss.
+
+    mode="sce" (reference default): sigmoid CE with one-sided label smoothing
+    (real → 1−ε), which tempers discriminator overconfidence (observed: Dt
+    collapse at scale). "lsgan": least-squares (Mao et al. 2017). "hinge":
+    geometric hinge (SAGAN/BigGAN family). "wgan": Wasserstein critic —
+    pair with ``gradient_penalty`` for the Lipschitz constraint.
+    """
+    if mode == "sce":
+        return (bce_logits(real_logits, 1.0 - label_smooth)
+                + bce_logits(fake_logits, 0.0))
+    if mode == "lsgan":
+        return 0.5 * (jnp.mean((real_logits - (1.0 - label_smooth)) ** 2)
+                      + jnp.mean(fake_logits ** 2))
+    if mode == "hinge":
+        return (jnp.mean(jax.nn.relu(1.0 - real_logits))
+                + jnp.mean(jax.nn.relu(1.0 + fake_logits)))
+    if mode == "wgan":
+        return jnp.mean(fake_logits) - jnp.mean(real_logits)
+    raise ValueError(f"unknown ganLoss mode: {mode!r}")
 
 
-def g_adv_loss(fake_logits: jnp.ndarray) -> jnp.ndarray:
-    return bce_logits(fake_logits, 1.0)
+def g_adv_loss(fake_logits: jnp.ndarray, mode: str = "sce") -> jnp.ndarray:
+    if mode == "sce":
+        return bce_logits(fake_logits, 1.0)
+    if mode == "lsgan":
+        return 0.5 * jnp.mean((fake_logits - 1.0) ** 2)
+    if mode in ("hinge", "wgan"):
+        return -jnp.mean(fake_logits)
+    raise ValueError(f"unknown ganLoss mode: {mode!r}")
+
+
+def r1_penalty(disc_fn, real_in: jnp.ndarray) -> jnp.ndarray:
+    """R1 regularizer (Mescheder et al. 2018): E[‖∇_x D(x_real)‖²].
+
+    The caller scales by γ/2. ``disc_fn(x) -> logits``; the gradient is taken
+    of the summed logits w.r.t. the (real) input batch, in float32.
+    """
+    x = real_in.astype(jnp.float32)
+    grads = jax.grad(lambda xi: jnp.sum(disc_fn(xi)))(x)
+    return jnp.mean(jnp.sum(grads ** 2, axis=tuple(range(1, grads.ndim))))
+
+
+def gradient_penalty(disc_fn, real_in: jnp.ndarray, fake_in: jnp.ndarray,
+                     key: jax.Array) -> jnp.ndarray:
+    """WGAN-GP (Gulrajani et al. 2017): E[(‖∇_x̂ D(x̂)‖ − 1)²] on random
+    interpolates x̂ between real and fake batches."""
+    eps = jax.random.uniform(key, (real_in.shape[0],) + (1,) * (real_in.ndim - 1))
+    x_hat = (eps * real_in + (1.0 - eps) * fake_in).astype(jnp.float32)
+    grads = jax.grad(lambda xi: jnp.sum(disc_fn(xi)))(x_hat)
+    norms = jnp.sqrt(
+        jnp.sum(grads ** 2, axis=tuple(range(1, grads.ndim))) + 1e-12)
+    return jnp.mean((norms - 1.0) ** 2)
 
 
 def l1_loss(fake: jnp.ndarray, real: jnp.ndarray) -> jnp.ndarray:

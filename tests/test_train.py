@@ -290,3 +290,85 @@ def test_disc_and_gen_runs_ratio():
     tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
     out = Trainer(cfg, tc).fit(iters=2, log_every=1)
     assert np.isfinite(out["g_loss"])
+
+
+# ------------------------------------------------- GAN loss modes (§2.8 note)
+
+def test_gan_loss_mode_values():
+    """lsgan/hinge/wgan against hand-computed values on fixed logits."""
+    r = jnp.asarray([2.0, 0.0])
+    f = jnp.asarray([-1.0, 1.0])
+    # LSGAN: 0.5*(mean((r-1)^2) + mean(f^2)) = 0.5*((1+1)/2 + (1+1)/2) = 1.0
+    assert abs(float(losses.d_loss(r, f, mode="lsgan")) - 1.0) < 1e-6
+    # LSGAN G: 0.5*mean((f-1)^2) = 0.5*(4+0)/2 = 1.0
+    assert abs(float(losses.g_adv_loss(f, mode="lsgan")) - 1.0) < 1e-6
+    # hinge: mean(relu(1-r)) + mean(relu(1+f)) = (0+1)/2 + (0+2)/2 = 1.5
+    assert abs(float(losses.d_loss(r, f, mode="hinge")) - 1.5) < 1e-6
+    # wgan: mean(f) - mean(r) = 0 - 1 = -1
+    assert abs(float(losses.d_loss(r, f, mode="wgan")) + 1.0) < 1e-6
+    assert abs(float(losses.g_adv_loss(f, mode="wgan")) - 0.0) < 1e-6
+    with pytest.raises(ValueError, match="ganLoss"):
+        losses.d_loss(r, f, mode="nope")
+
+
+def test_r1_penalty_linear_disc_analytic():
+    """For D(x) = <c, x>, grad_x D = c so the penalty is sum(c^2) exactly."""
+    rng = np.random.default_rng(3)
+    c = jnp.asarray(rng.normal(size=(6, 6, 2)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(4, 6, 6, 2)).astype(np.float32))
+    got = float(losses.r1_penalty(
+        lambda xi: jnp.sum(xi * c, axis=(1, 2, 3)), x))
+    assert abs(got - float(jnp.sum(c ** 2))) < 1e-4
+
+
+def test_gradient_penalty_unit_gradient_is_zero():
+    """A critic with unit input-gradient norm incurs zero WGAN-GP."""
+    rng = np.random.default_rng(4)
+    real = jnp.asarray(rng.normal(size=(4, 8, 8, 1)).astype(np.float32))
+    fake = jnp.asarray(rng.normal(size=(4, 8, 8, 1)).astype(np.float32))
+    gp = float(losses.gradient_penalty(
+        lambda xi: xi[:, 0, 0, 0], real, fake, jax.random.PRNGKey(0)))
+    assert gp < 1e-8
+    # and a zero critic has grad-norm 0 → penalty (0-1)^2 = 1
+    gp0 = float(losses.gradient_penalty(
+        lambda xi: jnp.zeros(xi.shape[0]), real, fake, jax.random.PRNGKey(0)))
+    assert abs(gp0 - 1.0) < 1e-5  # sqrt(eps)=1e-6 shifts the norm slightly
+
+
+@pytest.mark.parametrize("mode,r1,gp", [
+    ("lsgan", 0.0, 0.0),
+    ("hinge", 0.0, 0.0),
+    ("wgan", 0.0, 10.0),
+    ("sce", 10.0, 0.0),
+])
+def test_training_runs_all_gan_modes(mode, r1, gp):
+    """Every ganLoss mode (incl. R1 / WGAN-GP regularized) trains finite,
+    temporal disc on (both Ds and Dt paths exercise the penalty)."""
+    import dataclasses
+    ds = _dataset()
+    cfg = _config(stages=1, temporal=True)
+    cfg = dataclasses.replace(
+        cfg, loss=dataclasses.replace(cfg.loss, gan_loss=mode,
+                                      r1_gamma=r1, gp_weight=gp))
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    out = Trainer(cfg, tc).fit(iters=2, log_every=1)
+    for k in ("d_loss", "dt_loss", "g_loss", "l1"):
+        assert np.isfinite(out[k]), (mode, k, out)
+
+
+def test_ttur_lrdisc_sets_disc_lr():
+    """lrdisc (TTUR) drives the D optimizer: Adam's first-step update
+    magnitude equals the learning rate."""
+    import dataclasses
+    from mpgan_tpu.train.loop import _make_opt
+    cfg = _config(stages=1)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, learning_rate=1e-4,
+                                       lr_disc=4e-4))
+    p = {"w": jnp.ones((3,))}
+    g = {"w": jnp.ones((3,))}
+    for disc, want in ((False, 1e-4), (True, 4e-4)):
+        opt = _make_opt(cfg, disc=disc)
+        upd, _ = opt.update(g, opt.init(p), p)
+        got = float(jnp.abs(upd["w"][0]))
+        assert abs(got - want) / want < 1e-3, (disc, got, want)
