@@ -117,6 +117,10 @@ def upscale_volume(gen1, params1, gen2, params2, lr_vol: jnp.ndarray,
     """
     interm = pass1_volume(gen1, params1, lr_vol, stage=stage, chunk=chunk,
                           mesh=mesh)
+    if lr_vol.shape[0] == 1:
+        # 2D data (dataDim 2): a single xy plane — in-plane SR only, no
+        # z-axis passes (the reference's 2D mode is likewise single-net)
+        return interm
     lr_vel = lr_vol[..., 1:4] if lr_vol.shape[-1] >= 4 else None
     if gen2 is None:
         return jnp.repeat(interm, up_res, axis=0)

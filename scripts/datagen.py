@@ -26,6 +26,7 @@ def main(argv=None):
     obstacles = int(ph.getParam("obstacles", 0))  # every Nth sim; 0 = never
     seed = int(ph.getParam("randSeed", 0))
     warmup = int(ph.getParam("warmup", 8))
+    data_dim = int(ph.getParam("dataDim", 3))     # 2 → (1, Y, X) scenes
     ph.checkUnusedParams()
 
     from mpgan_tpu.solver import datagen
@@ -34,10 +35,15 @@ def main(argv=None):
         with_obs = obstacles > 0 and (i % obstacles == obstacles - 1)
         sim_dir = os.path.join(base, f"sim_{sim:04d}")
         t0 = time.time()
-        datagen.generate_sim(sim_dir, seed + sim, res_hi, up_res, frames,
-                             warmup=warmup, with_obstacle=with_obs,
-                             save_flags=with_obs)
-        print(f"sim_{sim:04d}: {frames} frames @{res_hi}^3 "
+        if data_dim == 2:
+            datagen.generate_sim_2d(sim_dir, seed + sim, res_hi, up_res,
+                                    frames, warmup=warmup,
+                                    with_obstacle=with_obs)
+        else:
+            datagen.generate_sim(sim_dir, seed + sim, res_hi, up_res, frames,
+                                 warmup=warmup, with_obstacle=with_obs,
+                                 save_flags=with_obs)
+        print(f"sim_{sim:04d}: {frames} frames @{res_hi}^{data_dim} "
               f"(obstacle={with_obs}) in {time.time()-t0:.1f}s -> {sim_dir}")
 
 

@@ -78,3 +78,32 @@ def test_eval_cli(workdir):
     assert res["frames"] == 2
     assert 0 < res["psnr_mean"] < 100
     assert "trilinear_psnr_mean" in res
+
+
+def test_2d_pipeline_cli(tmp_path):
+    """dataDim 2 end-to-end: 2D datagen → pass-1 training → inference keeps
+    Z=1 and upsamples in-plane only (reference 2D mode)."""
+    d = str(tmp_path)
+    _run("datagen.py",
+         f"basePath {d}/data/ fromSim 1000 toSim 1000 resHigh 32 upRes 4 "
+         "frames 5 warmup 2 randSeed 1 dataDim 2", d)
+    files = os.listdir(os.path.join(d, "data", "sim_1000"))
+    assert len(files) == 20
+    _run("multipass_gan.py",
+         f"out 0 basePath {d}/data/ fromSim 1000 toSim 1000 frameMax 5 "
+         "dataDim 2 upRes 4 tileSizeLow 6 useVelocities 1 trainingIters 2 "
+         "batchSize 2 saveInterval 2 outputInterval 2 useTempoD 0 firstNN 1 "
+         f"genFilters 8 discFilters 8 genBlocks 1 dtype float32 "
+         f"testPath {d}/runs/ randSeed 3", d)
+    out = _run("multipass_gan.py",
+               f"out 1 basePath {d}/data/ fromSim 1000 toSim 1000 dataDim 2 "
+               "upRes 4 tileSizeLow 6 useVelocities 1 load_model_test 0 "
+               "load_model_no 0 outFrameMin 3 outFrameMax 5 genFilters 8 "
+               f"genBlocks 1 dtype float32 testPath {d}/runs/", d)
+    assert "inference outputs" in out
+    out_dir = os.path.join(d, "runs", "test_0001")
+    unis = sorted(f for f in os.listdir(out_dir) if f.endswith(".uni"))
+    from mpgan_tpu.io import uni
+    _, vol = uni.readUni(os.path.join(out_dir, unis[0]))
+    assert vol.shape == (1, 32, 32, 1)  # Z stays 1; 8x8 → 32x32 in-plane
+    assert np.isfinite(vol).all()
