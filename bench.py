@@ -48,7 +48,9 @@ def main():
     # data-independent loop would be hoisted by XLA. The tiny acc feedback
     # (±1e-30·acc on the input) forces sequential execution without changing
     # the numerics.
-    n_iters = 10
+    # 50 chained frames ≈ steady-state streaming: the ~33 ms per-dispatch RPC
+    # of this tunnel amortizes to <1 ms/frame
+    n_iters = 50
 
     @jax.jit
     def chained(p1_, p2_, lr_):

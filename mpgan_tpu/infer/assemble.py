@@ -68,15 +68,21 @@ def pass2_volume(gen2, params2, interm: jnp.ndarray,
     """Intermediate (Z, Ys, Xs, 1) [+ LR velocity (Z, Y, X, 3)] →
     final (Z·s, Ys, Xs, 1) via xz slices (z-axis refinement)."""
     z, ys, xs, _ = interm.shape
+    # staging dtype: the generator casts its input to gen2.dtype on entry;
+    # staging in that dtype halves the resize/transpose HBM traffic for bf16
+    # models (the density cast is value-identical; the velocity resize then
+    # runs in bf16, within the model's own input precision)
+    dt = getattr(gen2, "dtype", interm.dtype)
     if lr_vel is not None:
         # velocity on the intermediate grid, channels permuted for the xz
         # plane: [vx, vz, vy] (w=x, h=z, out=y); values stay in LR units,
         # matching the training pipeline's gather
-        vel = jax.image.resize(lr_vel, (z, ys, xs, 3), method="linear")
+        vel = jax.image.resize(lr_vel.astype(dt), (z, ys, xs, 3),
+                               method="linear")
         vel = vel[..., jnp.asarray([0, 2, 1])]
-        vol_in = jnp.concatenate([interm, vel], axis=-1)
+        vol_in = jnp.concatenate([interm.astype(dt), vel], axis=-1)
     else:
-        vol_in = interm
+        vol_in = interm.astype(dt)
     # slices over y: (Ys, Z, Xs, C)
     slices = jnp.transpose(vol_in, (1, 0, 2, 3))
     fn = partial(gen2.apply, params2, stage=stage)
@@ -93,12 +99,14 @@ def pass3_volume(gen3, params3, vol: jnp.ndarray,
     vol: (Zs, Ys, Xs, 1); slices are (Ys, Zs) planes per x, channel layout
     [d, v_w=vz, v_h=vy, v_out=vx] (pipeline 'yz' convention)."""
     zs, ys, xs, _ = vol.shape
+    dt = getattr(gen3, "dtype", vol.dtype)
     if lr_vel is not None:
-        vel = jax.image.resize(lr_vel, (zs, ys, xs, 3), method="linear")
+        vel = jax.image.resize(lr_vel.astype(dt), (zs, ys, xs, 3),
+                               method="linear")
         vel = vel[..., jnp.asarray([2, 1, 0])]
-        vol_in = jnp.concatenate([vol, vel], axis=-1)
+        vol_in = jnp.concatenate([vol.astype(dt), vel], axis=-1)
     else:
-        vol_in = vol
+        vol_in = vol.astype(dt)
     # slices over x: (Xs, Ys, Zs, C)  (h = y, w = z)
     slices = jnp.transpose(vol_in, (2, 1, 0, 3))
     fn = partial(gen3.apply, params3)

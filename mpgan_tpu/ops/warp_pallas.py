@@ -10,9 +10,11 @@ cells per frame). Exact bilinear sampling can therefore be written as
 
 with (by, bx) = −dt·v(y, x) clamped to [−R, R] and tri(u) = max(0, 1−|u|):
 only the 4 integer shifts bracketing the backtrace have nonzero weight, so
-the sum is the bilinear interpolant. Each shifted read is a *static-size
-dynamic slice* of an edge-padded VMEM block — pure VPU work, no gather, no
-DMA in the inner loop. Cost: (2R+2)² fused multiply-adds per pixel.
+the sum is the bilinear interpolant. Each shifted read is a fully *static
+slice* of an edge-padded VMEM block (both loops unrolled — Mosaic lowers
+neither dynamic lane starts nor, at larger tiles, unaligned dynamic sublane
+starts) — pure VPU work, no gather, no DMA in the inner loop. Cost: (2R+2)²
+fused multiply-adds per pixel.
 
 Edge handling: the field is edge-padded by R+1 on the host side, which is
 equivalent to the XLA reference's border-clamped sampling for displacements
@@ -45,18 +47,18 @@ def _warp_kernel(fpad_ref, bx_ref, by_ref, o_ref, *, r: int, h: int, w: int):
     by = by_ref[0]
     acc = jnp.zeros((h, w), jnp.float32)
 
-    # x (lane) offsets must be static for Mosaic → unrolled Python loop;
-    # y (sublane) offsets may be dynamic → fori_loop with pl.ds
+    # both displacement loops are unrolled so every tile read is a static
+    # slice: Mosaic cannot prove alignment for dynamic sublane starts at
+    # larger tiles (seen at h=128: "cannot statically prove that index in
+    # dimension 1 is a multiple of 8"), and dynamic lane starts are never
+    # lowered. (2R+2)^2 static VPU fmas; weights are zero except for the 4
+    # shifts bracketing each pixel's backtrace.
     for dx in range(-r, r + 2):
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(bx - float(dx)))
-
-        def body(j, acc, dx=dx, wx=wx):
-            dy = j - r
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(by - dy.astype(jnp.float32)))
-            tile = fpad_ref[0, pl.ds(p + dy, h), p + dx:p + dx + w]
-            return acc + wy * wx * tile
-
-        acc = jax.lax.fori_loop(0, 2 * r + 2, body, acc)
+        for dy in range(-r, r + 2):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(by - float(dy)))
+            tile = fpad_ref[0, p + dy:p + dy + h, p + dx:p + dx + w]
+            acc = acc + wy * wx * tile
     o_ref[0] = acc
 
 

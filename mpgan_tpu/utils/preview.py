@@ -1,8 +1,10 @@
 """Training previews + structured metrics (SURVEY.md §5 'Metrics / logging').
 
 The reference dumps PNG slice previews and TensorBoard scalars every
-``outputInterval``; here: a [input | generated | target] patch grid PNG and a
-metrics CSV/JSONL appender.
+``outputInterval``; here: a [input | generated | target] patch grid PNG, a
+metrics CSV/JSONL appender, and (when the tensorboard package is importable)
+TensorBoard event files in ``<run>/tb/`` so ``tensorboard --logdir`` works
+exactly as with the reference's tf.summary output.
 """
 
 from __future__ import annotations
@@ -55,14 +57,29 @@ def save_volume_slices(path: str, vol: np.ndarray, axis: int = 2) -> None:
 
 
 class MetricsWriter:
-    """Appends rows to both metrics.csv and metrics.jsonl in a run dir."""
+    """Appends rows to metrics.csv + metrics.jsonl in a run dir, and mirrors
+    scalar metrics to TensorBoard events (optional; skipped without the
+    tensorboard package). The ``it`` field is the TB step."""
 
-    def __init__(self, run_dir: str):
+    def __init__(self, run_dir: str, tensorboard: bool = True):
         self.csv_path = os.path.join(run_dir, "metrics.csv")
         self.jsonl_path = os.path.join(run_dir, "metrics.jsonl")
         self._fields: list[str] | None = None
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(run_dir, "tb"))
+            except Exception:
+                self._tb = None
 
     def write(self, row: dict) -> None:
+        if self._tb is not None:
+            step = int(row.get("it", 0))
+            for k, v in row.items():
+                if k != "it" and isinstance(v, (int, float)):
+                    self._tb.add_scalar(k, float(v), global_step=step)
+            self._tb.flush()
         with open(self.jsonl_path, "a") as f:
             f.write(json.dumps(row) + "\n")
         if self._fields is None:
