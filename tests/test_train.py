@@ -199,6 +199,25 @@ def test_preview_and_metrics_writer(tmp_path):
     assert len(lines) == 3 and "g_loss" in lines[0]
 
 
+def test_metrics_writer_tensorboard_events(tmp_path):
+    """Scalars are mirrored to readable TensorBoard event files (reference
+    tf.summary parity); 'it' becomes the TB step and is not its own tag."""
+    pytest.importorskip("tensorboard")
+    from mpgan_tpu.utils import preview
+    w = preview.MetricsWriter(str(tmp_path))
+    if w._tb is None:
+        pytest.skip("tensorboard writer unavailable")
+    w.write({"it": 5, "g_loss": 1.5, "stage": 2})
+    w.write({"it": 10, "g_loss": 1.0, "stage": 2})
+    from tensorboard.backend.event_processing.event_accumulator import \
+        EventAccumulator
+    ea = EventAccumulator(str(tmp_path / "tb"))
+    ea.Reload()
+    assert set(ea.Tags()["scalars"]) == {"g_loss", "stage"}
+    assert [(s.step, s.value) for s in ea.Scalars("g_loss")] == \
+        [(5, 1.5), (10, 1.0)]
+
+
 def test_2d_data_training_runs():
     """dataDim 2 path: Z=1 volumes train pass-1 end-to-end."""
     rng = np.random.default_rng(3)
