@@ -72,6 +72,34 @@ def latest_model_no(run: str) -> int | None:
     return max(nos, default=None)
 
 
+def latest_resumable(base: str, pass_no: int | None = None
+                     ) -> tuple[int, int] | None:
+    """Newest (run index, model no) under ``base`` with a full checkpoint —
+    the auto-resume target (``resumeLatest 1``; SURVEY.md §5 'Failure
+    detection / elastic recovery': restart without hand-picking numbers).
+
+    If ``pass_no`` is given, runs whose latest checkpoint metadata records a
+    different training pass are skipped (resuming pass-1 training from a
+    pass-2 state would mismatch param shapes)."""
+    if not os.path.isdir(base):
+        return None
+    runs = sorted((int(m.group(1)) for d in os.listdir(base)
+                   if (m := re.fullmatch(r"test_(\d{4})", d))), reverse=True)
+    for idx in runs:
+        run = run_dir(base, idx)
+        no = latest_model_no(run)
+        if no is None:
+            continue
+        if pass_no is not None:
+            meta_path = model_dir(run, no) + ".json"
+            if os.path.exists(meta_path):
+                meta = json.load(open(meta_path))
+                if meta.get("pass_no", pass_no) != pass_no:
+                    continue
+        return idx, no
+    return None
+
+
 def save_gen(run: str, no: int, params_g: Any) -> str:
     """Generator-only checkpoint ``gen_%04d`` (cheap inference restore)."""
     path = os.path.abspath(os.path.join(run, f"gen_{no:04d}"))

@@ -46,6 +46,9 @@ def main(argv=None):
     # load_model_test/no resume directly, as in the reference)
     resume_test = int(ph.getParam("resumeTest", -1))
     resume_no = int(ph.getParam("resumeNo", -1))
+    # auto-resume: pick the newest same-pass checkpoint under testPath
+    # (crash recovery without hand-picking run/model numbers)
+    resume_latest = int(ph.getParam("resumeLatest", 0))
     # generator-only warm start (e.g. GAN fine-tune from an L1 pretrain;
     # BASELINE config 1 "pretrained first-pass generator")
     warm_test = int(ph.getParam("warmStartTest", -1))
@@ -55,6 +58,17 @@ def main(argv=None):
     if cfg.infer.output_only:
         run_inference(cfg, load_test2, load_no2, load_test3, load_no3)
     else:
+        if resume_latest and resume_test < 0:
+            from mpgan_tpu.train import checkpoint as ckpt
+            pno = train_pass if train_pass else (
+                1 if cfg.train.first_gen_run else 2)
+            found = ckpt.latest_resumable(cfg.train.test_path, pass_no=pno)
+            if found is not None:
+                resume_test, resume_no = found
+                print(f"resumeLatest: test_{resume_test:04d}/"
+                      f"model_{resume_no:04d}")
+            else:
+                print("resumeLatest: no prior checkpoint — fresh start")
         run_training(cfg, argv, pass2_source, resume_test, resume_no,
                      warm_test, warm_no, train_pass, pass3_source,
                      load_test2, load_no2)

@@ -168,6 +168,27 @@ def test_resume_from_checkpoint(tmp_path):
     assert int(tr2.rt.state.step) == 6
 
 
+def test_latest_resumable_picks_newest_same_pass(tmp_path):
+    """resumeLatest semantics: newest run with a checkpoint of the requested
+    pass wins; runs of another pass or without checkpoints are skipped."""
+    import json
+    import os
+    from mpgan_tpu.train import checkpoint as ckpt
+
+    assert ckpt.latest_resumable(str(tmp_path)) is None
+    for idx, (nos, pass_no) in enumerate([([0, 2], 1), ([1], 2), ([], 1)]):
+        run = ckpt.next_run_dir(str(tmp_path))
+        for no in nos:
+            os.makedirs(ckpt.model_dir(run, no))
+            with open(ckpt.model_dir(run, no) + ".json", "w") as f:
+                json.dump({"pass_no": pass_no, "it": no * 100}, f)
+    # newest run (2) is empty; run 1 is pass-2; run 0 has pass-1 model 2
+    assert ckpt.latest_resumable(str(tmp_path), pass_no=1) == (0, 2)
+    assert ckpt.latest_resumable(str(tmp_path), pass_no=2) == (1, 1)
+    # without a pass filter the newest checkpointed run wins
+    assert ckpt.latest_resumable(str(tmp_path)) == (1, 1)
+
+
 def test_steps_per_dispatch_equivalence():
     """K-per-dispatch scan training must behave like single-step (same seed,
     same chunk boundaries at log points)."""
