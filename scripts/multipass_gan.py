@@ -251,6 +251,13 @@ def _read_uni(path):
 
 def run_inference(cfg, load_test2: int, load_no2: int,
                   load_test3: int = -1, load_no3: int = -1):
+    """Checkpoint → full-volume SR sweep (SURVEY.md §3.3).
+
+    Host I/O is overlapped with device compute (SURVEY.md §7 step 10):
+    frame f+1's gzip decode runs in a reader thread while the device
+    upscales frame f, and .uni/PNG writes drain through a writer thread."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import jax
     import jax.numpy as jnp
     from mpgan_tpu.data import loader
@@ -273,28 +280,45 @@ def run_inference(cfg, load_test2: int, load_no2: int,
         gen1, params1, gen2, params2, cfg.data.up_res,
         chunk=cfg.infer.slice_chunk, mesh=mesh, gen3=gen3, params3=params3)
 
-    for sim in range(cfg.data.from_sim, cfg.data.to_sim + 1):
+    def read_frame(sim, f):
         sim_dir = os.path.join(cfg.data.base_path, f"sim_{sim:04d}")
-        for f in range(cfg.infer.frame_min, cfg.infer.frame_max):
-            dpath = os.path.join(sim_dir, loader.LOW_DENSITY % f)
-            if not os.path.exists(dpath):
+        dpath = os.path.join(sim_dir, loader.LOW_DENSITY % f)
+        if not os.path.exists(dpath):
+            return None
+        chans = [_read_uni(dpath).astype(np.float32)]
+        if cfg.data.use_velocities:
+            chans.append(_read_uni(os.path.join(
+                sim_dir, loader.LOW_VELOCITY % f)).astype(np.float32))
+        return np.concatenate(chans, axis=-1)
+
+    def write_frame(out, hr):
+        if cfg.infer.write_uni:
+            uni.write_density(out, hr[..., 0])
+        if cfg.infer.write_png:
+            from PIL import Image
+            mid = hr[hr.shape[0] // 2, :, :, 0]
+            img = np.clip(mid[::-1] * 255 / max(mid.max(), 1e-6), 0, 255)
+            Image.fromarray(img.astype(np.uint8)).save(out[:-4] + ".png")
+
+    frames = [(sim, f)
+              for sim in range(cfg.data.from_sim, cfg.data.to_sim + 1)
+              for f in range(cfg.infer.frame_min, cfg.infer.frame_max)]
+    with ThreadPoolExecutor(1) as reader, ThreadPoolExecutor(1) as writer:
+        pending = []
+        nxt = reader.submit(read_frame, *frames[0]) if frames else None
+        for i, (sim, f) in enumerate(frames):
+            lr_np, cur = nxt.result(), None
+            if i + 1 < len(frames):
+                nxt = reader.submit(read_frame, *frames[i + 1])
+            if lr_np is None:
                 continue
-            d = _read_uni(dpath)
-            chans = [d.astype(np.float32)]
-            if cfg.data.use_velocities:
-                v = _read_uni(os.path.join(sim_dir, loader.LOW_VELOCITY % f))
-                chans.append(v.astype(np.float32))
-            lr = jnp.asarray(np.concatenate(chans, axis=-1))
-            hr = np.asarray(upscale(lr))
+            hr = np.asarray(upscale(jnp.asarray(lr_np)))
             out = os.path.join(out_dir, f"source_{sim:04d}_{f:04d}.uni")
-            if cfg.infer.write_uni:
-                uni.write_density(out, hr[..., 0])
-            if cfg.infer.write_png:
-                from PIL import Image
-                mid = hr[hr.shape[0] // 2, :, :, 0]
-                img = np.clip(mid[::-1] * 255 / max(mid.max(), 1e-6), 0, 255)
-                Image.fromarray(img.astype(np.uint8)).save(out[:-4] + ".png")
-            print(f"sim {sim} frame {f}: {d.shape[:3]} -> {hr.shape[:3]} -> {out}")
+            pending.append(writer.submit(write_frame, out, hr))
+            print(f"sim {sim} frame {f}: {lr_np.shape[:3]} -> {hr.shape[:3]} "
+                  f"-> {out}")
+        for p in pending:
+            p.result()
     print(f"inference outputs in {out_dir}")
     return out_dir
 
