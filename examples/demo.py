@@ -3,7 +3,8 @@
 
     python examples/demo.py [gan]    # 'gan' uses the adversarially fine-tuned G1
 
-Loads the committed checkpoints (trained in round 1 on 10 solver sims),
+Loads the committed checkpoints (24k-iter L1 + hinge/R1 GAN fine-tune on 10
+solver sims; round 2),
 super-resolves the bundled 32³ LR frame to 128³, reports PSNR vs the bundled
 ground truth and vs trilinear upsampling, and writes mid-slice PNGs.
 """
