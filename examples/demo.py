@@ -1,12 +1,16 @@
 #!/usr/bin/env python
-"""Out-of-the-box demo: pretrained two-pass 4× SR on a bundled smoke frame.
+"""Out-of-the-box demo: pretrained two-pass SR on bundled smoke frames.
 
-    python examples/demo.py [gan]    # 'gan' uses the adversarially fine-tuned G1
+    python examples/demo.py          # 4x: L1 pair, 32^3 -> 128^3
+    python examples/demo.py gan      # 4x with the adversarially fine-tuned G1
+    python examples/demo.py 8x       # 8x: from-scratch progressive GAN pair,
+                                     #     16^3 -> 128^3
 
-Loads the committed checkpoints (24k-iter L1 + hinge/R1 GAN fine-tune on 10
-solver sims; round 2),
-super-resolves the bundled 32³ LR frame to 128³, reports PSNR vs the bundled
-ground truth and vs trilinear upsampling, and writes mid-slice PNGs.
+Loads the committed checkpoints (round 2: 24k-iter L1 + hinge/R1 GAN
+fine-tune at 4x; from-scratch hinge/R1 progressive GAN at 8x, 10 solver
+sims each), super-resolves the bundled LR frame, reports PSNR vs the
+bundled ground truth and vs trilinear upsampling, and writes mid-slice
+PNGs.
 """
 
 import os
@@ -25,29 +29,39 @@ def main():
     from mpgan_tpu.infer import assemble
     from mpgan_tpu.models import generator as G
 
-    use_gan = len(sys.argv) > 1 and sys.argv[1] == "gan"
+    mode = sys.argv[1] if len(sys.argv) > 1 else "l1"
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-
-    g1 = G.make_pass1(2, 32, 2, dtype=dtype)
-    g2 = G.make_pass2(2, 32, 2, dtype=dtype)
-    t1 = g1.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 4)))
-    t2 = g2.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 4)))
     ck = os.path.join(HERE, "checkpoints")
-    name1 = "g1_gan" if use_gan else "g1_l1"
-    p1 = _restore(ck, name1, t1)
-    p2 = _restore(ck, "g2_l1", t2)
 
-    d_dir = os.path.join(HERE, "data", "sim_1010")
-    _, d = uni.readUni(os.path.join(d_dir, "density_low_0012.uni"))
-    _, v = uni.readUni(os.path.join(d_dir, "velocity_low_0012.uni"))
-    _, gt = uni.readUni(os.path.join(d_dir, "density_high_0012.uni"))
+    if mode == "8x":
+        up, stages = 8, 3
+        name1, name2 = "g1_gan8", "g2_gan8"
+        d_dir = os.path.join(HERE, "data", "sim_2010")
+        frame = 24
+    else:
+        up, stages = 4, 2
+        name1 = "g1_gan" if mode == "gan" else "g1_l1"
+        name2 = "g2_l1"
+        d_dir = os.path.join(HERE, "data", "sim_1010")
+        frame = 12
+
+    g1 = G.make_pass1(stages, 32, 2, dtype=dtype)
+    g2 = G.make_pass2(stages, 32, 2, dtype=dtype)
+    t1 = g1.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 4)))
+    t2 = g2.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16 * up, 4)))
+    p1 = _restore(ck, name1, t1)
+    p2 = _restore(ck, name2, t2)
+
+    _, d = uni.readUni(os.path.join(d_dir, f"density_low_{frame:04d}.uni"))
+    _, v = uni.readUni(os.path.join(d_dir, f"velocity_low_{frame:04d}.uni"))
+    _, gt = uni.readUni(os.path.join(d_dir, f"density_high_{frame:04d}.uni"))
     lr = jnp.asarray(np.concatenate([d, v], axis=-1))
 
-    out = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=4))
+    out = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=up))
     z, y, x, _ = d.shape
-    tri = np.asarray(jax.image.resize(jnp.asarray(d), (z*4, y*4, x*4, 1),
+    tri = np.asarray(jax.image.resize(jnp.asarray(d), (z*up, y*up, x*up, 1),
                                       "linear"))
-    print(f"model ({name1} + g2_l1): PSNR {assemble.psnr_volume(out, gt):.2f} dB")
+    print(f"model ({name1} + {name2}): PSNR {assemble.psnr_volume(out, gt):.2f} dB")
     print(f"trilinear baseline:      PSNR {assemble.psnr_volume(tri, gt):.2f} dB")
 
     try:
