@@ -5,6 +5,8 @@
     python examples/demo.py gan      # 4x with the adversarially fine-tuned G1
     python examples/demo.py 8x       # 8x: from-scratch progressive GAN pair,
                                      #     16^3 -> 128^3
+    python examples/demo.py 8x3      # 8x + the L1-trained yz refiner
+                                     #     (third pass, +0.7 dB)
 
 Loads the committed checkpoints (round 2: 24k-iter L1 + hinge/R1 GAN
 fine-tune at 4x; from-scratch hinge/R1 progressive GAN at 8x, 10 solver
@@ -38,6 +40,12 @@ def main():
         name1, name2 = "g1_gan8", "g2_gan8"
         d_dir = os.path.join(HERE, "data", "sim_2010")
         frame = 24
+    elif mode == "8x3":
+        # three passes: + the L1-trained yz refiner (BASELINE row 5b)
+        up, stages = 8, 3
+        name1, name2 = "g1_gan8", "g2_gan8"
+        d_dir = os.path.join(HERE, "data", "sim_2010")
+        frame = 24
     else:
         up, stages = 4, 2
         name1 = "g1_gan" if mode == "gan" else "g1_l1"
@@ -51,13 +59,20 @@ def main():
     t2 = g2.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16 * up, 4)))
     p1 = _restore(ck, name1, t1)
     p2 = _restore(ck, name2, t2)
+    g3 = p3 = None
+    if mode == "8x3":
+        g3 = G.make_pass3(32, 2, dtype=dtype)
+        t3 = g3.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 4)))
+        p3 = _restore(ck, "g3_l18", t3)
+        name2 = name2 + " + g3_l18"
 
     _, d = uni.readUni(os.path.join(d_dir, f"density_low_{frame:04d}.uni"))
     _, v = uni.readUni(os.path.join(d_dir, f"velocity_low_{frame:04d}.uni"))
     _, gt = uni.readUni(os.path.join(d_dir, f"density_high_{frame:04d}.uni"))
     lr = jnp.asarray(np.concatenate([d, v], axis=-1))
 
-    out = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=up))
+    out = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=up,
+                                             gen3=g3, params3=p3))
     z, y, x, _ = d.shape
     tri = np.asarray(jax.image.resize(jnp.asarray(d), (z*up, y*up, x*up, 1),
                                       "linear"))
