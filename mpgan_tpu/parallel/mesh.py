@@ -24,10 +24,23 @@ DATA_AXIS = "data"
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D data-parallel mesh over all (or the first n) devices."""
+    """1-D data-parallel mesh over all (or the first n) devices.
+
+    Raises (rather than silently truncating) when fewer than ``n_devices``
+    are available — a short mesh would otherwise surface later as a cryptic
+    shape/sharding assert far from the cause.
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            plat = getattr(devices[0], "platform", "?") if devices else "none"
+            raise RuntimeError(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devices)} available (platform={plat}). For a virtual "
+                f"multi-device CPU mesh set JAX_PLATFORMS=cpu and XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices} before "
+                f"the backend initializes.")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
