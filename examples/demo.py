@@ -23,6 +23,10 @@ sys.path.insert(0, os.path.join(HERE, ".."))
 
 import numpy as np
 
+from mpgan_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # JAX_PLATFORMS must win over sitecustomize's pin
+
 
 def main():
     import jax
@@ -32,6 +36,8 @@ def main():
     from mpgan_tpu.models import generator as G
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "l1"
+    if mode not in ("l1", "gan", "8x", "8x3"):
+        sys.exit(f"unknown mode {mode!r}; usage: demo.py [l1|gan|8x|8x3]")
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     ck = os.path.join(HERE, "checkpoints")
 

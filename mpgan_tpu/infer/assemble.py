@@ -142,12 +142,26 @@ def upscale_volume(gen1, params1, gen2, params2, lr_vol: jnp.ndarray,
 def make_jitted_upscaler(gen1, params1, gen2, params2, up_res: int,
                          stage: int | None = None, chunk: int = 0, mesh=None,
                          gen3=None, params3=None):
-    """jit-wrapped upscale_volume with params baked as traced args."""
+    """jit-wrapped upscale_volume with params baked as traced args.
+
+    With a mesh, params and the input volume must live on the mesh's device
+    set (replicated) — committed single-device args would conflict with the
+    in-jit sharding constraints over the mesh.
+    """
+    if mesh is not None:
+        params1, params2, params3 = (
+            pmesh.replicate(p, mesh) for p in (params1, params2, params3))
+
     @jax.jit
     def fn(p1, p2, p3, lr_vol):
         return upscale_volume(gen1, p1, gen2, p2, lr_vol, up_res,
                               stage=stage, chunk=chunk, mesh=mesh,
                               gen3=gen3, params3=p3)
+
+    if mesh is not None:
+        rep = pmesh.replicated(mesh)
+        return lambda lr_vol: fn(params1, params2, params3,
+                                 jax.device_put(lr_vol, rep))
     return lambda lr_vol: fn(params1, params2, params3, lr_vol)
 
 
@@ -157,6 +171,8 @@ def precompute_intermediates(gen1, params1, lr_vols: jnp.ndarray,
     """Frozen-G1 sweep over a dataset: (N, Z, Y, X, C) LR volumes →
     (N, Z, Y·s, X·s, 1) intermediate volumes (pass-2 training inputs,
     SURVEY.md §3.2 — G2 trains on G1 outputs)."""
+    if mesh is not None:
+        params1 = pmesh.replicate(params1, mesh)
     fn = jax.jit(partial(pass1_volume, gen1, params1, stage=stage,
                          chunk=chunk, mesh=mesh))
     outs = [fn(lr_vols[i]) for i in range(lr_vols.shape[0])]
@@ -167,6 +183,9 @@ def precompute_finals(gen1, params1, gen2, params2, lr_vols: jnp.ndarray,
                       up_res: int, chunk: int = 0, mesh=None) -> jnp.ndarray:
     """Frozen two-pass sweep: (N, Z, Y, X, C) LR → (N, Z·s, Y·s, X·s, 1)
     full-res volumes (pass-3 training inputs)."""
+    if mesh is not None:
+        params1 = pmesh.replicate(params1, mesh)
+        params2 = pmesh.replicate(params2, mesh)
     fn = jax.jit(partial(upscale_volume, gen1, params1, gen2, params2,
                          up_res=up_res, chunk=chunk, mesh=mesh))
     return jnp.stack([fn(lr_vols[i]) for i in range(lr_vols.shape[0])])

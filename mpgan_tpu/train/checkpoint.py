@@ -78,25 +78,32 @@ def latest_resumable(base: str, pass_no: int | None = None
     the auto-resume target (``resumeLatest 1``; SURVEY.md §5 'Failure
     detection / elastic recovery': restart without hand-picking numbers).
 
-    If ``pass_no`` is given, runs whose latest checkpoint metadata records a
-    different training pass are skipped (resuming pass-1 training from a
-    pass-2 state would mismatch param shapes)."""
+    If ``pass_no`` is given, checkpoints whose metadata records a different
+    training pass — or that have no ``.json`` sidecar at all (pass unknown) —
+    are skipped, scanning older model numbers within each run before moving
+    to older runs. Resuming pass-1 training from a pass-2 state would crash
+    at restore with a param-shape mismatch, so the crash-recovery path must
+    never guess."""
     if not os.path.isdir(base):
         return None
     runs = sorted((int(m.group(1)) for d in os.listdir(base)
                    if (m := re.fullmatch(r"test_(\d{4})", d))), reverse=True)
     for idx in runs:
         run = run_dir(base, idx)
-        no = latest_model_no(run)
-        if no is None:
+        if not os.path.isdir(run):
             continue
-        if pass_no is not None:
-            meta_path = model_dir(run, no) + ".json"
-            if os.path.exists(meta_path):
+        nos = sorted((int(m.group(1)) for d in os.listdir(run)
+                      if (m := re.fullmatch(r"model_(\d{4})", d))),
+                     reverse=True)
+        for no in nos:
+            if pass_no is not None:
+                meta_path = model_dir(run, no) + ".json"
+                if not os.path.exists(meta_path):
+                    continue  # unknown pass: not a safe resume target
                 meta = json.load(open(meta_path))
-                if meta.get("pass_no", pass_no) != pass_no:
+                if meta.get("pass_no") != pass_no:
                     continue
-        return idx, no
+            return idx, no
     return None
 
 

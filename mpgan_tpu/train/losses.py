@@ -49,10 +49,15 @@ def d_loss(real_logits: jnp.ndarray, fake_logits: jnp.ndarray,
     if mode == "lsgan":
         return 0.5 * (jnp.mean((real_logits - (1.0 - label_smooth)) ** 2)
                       + jnp.mean(fake_logits ** 2))
-    if mode == "hinge":
-        return (jnp.mean(jax.nn.relu(1.0 - real_logits))
-                + jnp.mean(jax.nn.relu(1.0 + fake_logits)))
-    if mode == "wgan":
+    if mode in ("hinge", "wgan"):
+        if label_smooth:
+            raise ValueError(
+                f"labelSmooth {label_smooth} has no effect with ganLoss "
+                f"{mode!r} (only sce/lsgan use smoothed targets); refusing "
+                f"to silently ignore it")
+        if mode == "hinge":
+            return (jnp.mean(jax.nn.relu(1.0 - real_logits))
+                    + jnp.mean(jax.nn.relu(1.0 + fake_logits)))
         return jnp.mean(fake_logits) - jnp.mean(real_logits)
     raise ValueError(f"unknown ganLoss mode: {mode!r}")
 

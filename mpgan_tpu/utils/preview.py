@@ -2,9 +2,12 @@
 
 The reference dumps PNG slice previews and TensorBoard scalars every
 ``outputInterval``; here: a [input | generated | target] patch grid PNG, a
-metrics CSV/JSONL appender, and (when the tensorboard package is importable)
-TensorBoard event files in ``<run>/tb/`` so ``tensorboard --logdir`` works
-exactly as with the reference's tf.summary output.
+metrics CSV/JSONL appender, and TensorBoard event files in ``<run>/tb/`` so
+``tensorboard --logdir`` works exactly as with the reference's tf.summary
+output. Event writing needs a SummaryWriter implementation: torch's
+(torch.utils.tensorboard) or tensorboardX's — the bare ``tensorboard``
+package ships only the reader/web UI. Without either, TB mirroring silently
+disables; CSV/JSONL always work.
 """
 
 from __future__ import annotations
@@ -67,11 +70,19 @@ class MetricsWriter:
         self._fields: list[str] | None = None
         self._tb = None
         if tensorboard:
+            SummaryWriter = None
             try:
                 from torch.utils.tensorboard import SummaryWriter
-                self._tb = SummaryWriter(os.path.join(run_dir, "tb"))
             except Exception:
-                self._tb = None
+                try:
+                    from tensorboardX import SummaryWriter
+                except Exception:
+                    SummaryWriter = None
+            if SummaryWriter is not None:
+                try:
+                    self._tb = SummaryWriter(os.path.join(run_dir, "tb"))
+                except Exception:
+                    self._tb = None
 
     def write(self, row: dict) -> None:
         if self._tb is not None:

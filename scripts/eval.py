@@ -17,6 +17,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from mpgan_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # JAX_PLATFORMS must win over sitecustomize's pin
+
 import numpy as np
 
 from mpgan_tpu.utils import params as ph

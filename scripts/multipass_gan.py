@@ -22,6 +22,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from mpgan_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # JAX_PLATFORMS must win over sitecustomize's pin
+
 import numpy as np
 
 from mpgan_tpu import config as cfgmod
@@ -314,6 +318,11 @@ def run_inference(cfg, load_test2: int, load_no2: int,
                 continue
             hr = np.asarray(upscale(jnp.asarray(lr_np)))
             out = os.path.join(out_dir, f"source_{sim:04d}_{f:04d}.uni")
+            # Bound in-flight writes: each future retains a full HR volume
+            # (~0.5 GB at 512^3), so if the gzip/PNG writer falls behind
+            # device compute, host memory would grow without bound.
+            while len(pending) >= 3:
+                pending.pop(0).result()
             pending.append(writer.submit(write_frame, out, hr))
             print(f"sim {sim} frame {f}: {lr_np.shape[:3]} -> {hr.shape[:3]} "
                   f"-> {out}")

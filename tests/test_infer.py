@@ -59,6 +59,19 @@ def test_jitted_upscaler():
     assert out.shape == (8, 16, 16, 1)
 
 
+def test_jitted_upscaler_with_mesh_matches_single_device():
+    """Jitted inference over the mesh: params created on one device must be
+    replicated internally — committed single-device args would conflict with
+    the in-jit mesh constraints (regression: the eager sharded test above
+    never caught this)."""
+    g1, p1, g2, p2 = _gens(stages=1)
+    lr = jnp.asarray(np.random.default_rng(7).random((6, 8, 8, 4), np.float32))
+    a = assemble.make_jitted_upscaler(g1, p1, g2, p2, up_res=2)(lr)
+    mesh = pmesh.make_mesh()
+    b = assemble.make_jitted_upscaler(g1, p1, g2, p2, up_res=2, mesh=mesh)(lr)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_identity_like_volume_content():
     """With the global skip, an untrained G ≈ upsampled input: the output
     must correlate strongly with the linearly-upsampled LR density."""

@@ -1,0 +1,92 @@
+"""Quality-regression gate (VERDICT r1 weak #4 / SURVEY.md §4(6)).
+
+Runs the bundled pretrained checkpoints (examples/checkpoints) on the bundled
+held-out frames (examples/data) and asserts PSNR floors, so a refactor that
+degrades inference quality fails `pytest` without any TPU. Thresholds follow
+the VERDICT suggestion (4x >= trilinear + 4 dB, 8x >= trilinear + 2 dB) and
+sit well below the measured values (4x: +7.2, 8x: +4.3 at round 2) to avoid
+flaking on numerics while still catching real regressions.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mpgan_tpu.infer import assemble
+from mpgan_tpu.io import uni
+from mpgan_tpu.models import generator as G
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+EXAMPLES = os.path.join(HERE, "..", "examples")
+
+
+def _restore(name, template):
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(EXAMPLES, "checkpoints", name))
+    if not os.path.exists(path):
+        pytest.skip(f"bundled checkpoint {name} missing")
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    return ckptr.restore(path, abstract)
+
+
+def _load_frame(sim, frame):
+    d_dir = os.path.join(EXAMPLES, "data", sim)
+    if not os.path.isdir(d_dir):
+        pytest.skip(f"bundled data {sim} missing")
+    _, d = uni.readUni(os.path.join(d_dir, f"density_low_{frame:04d}.uni"))
+    _, v = uni.readUni(os.path.join(d_dir, f"velocity_low_{frame:04d}.uni"))
+    _, gt = uni.readUni(os.path.join(d_dir, f"density_high_{frame:04d}.uni"))
+    lr = jnp.asarray(np.concatenate([d, v], axis=-1))
+    return d, lr, gt
+
+
+def _trilinear(d, up):
+    z, y, x, _ = d.shape
+    return np.asarray(jax.image.resize(
+        jnp.asarray(d), (z * up, y * up, x * up, 1), "linear"))
+
+
+def test_4x_two_pass_bundled_psnr_floor():
+    up, stages = 4, 2
+    g1 = G.make_pass1(stages, 32, 2, dtype=jnp.float32)
+    g2 = G.make_pass2(stages, 32, 2, dtype=jnp.float32)
+    p1 = _restore("g1_l1", g1.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 16, 16, 4))))
+    p2 = _restore("g2_l1", g2.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 16, 16 * up, 4))))
+    d, lr, gt = _load_frame("sim_1010", 12)
+    out = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=up))
+    psnr = assemble.psnr_volume(out, gt)
+    tri = assemble.psnr_volume(_trilinear(d, up), gt)
+    assert psnr >= tri + 4.0, (psnr, tri)
+    assert psnr >= 34.0, psnr  # measured 36.8 dB at round 2
+
+
+def test_8x_progressive_bundled_psnr_floor():
+    """From-scratch progressive-GAN pair at 8x, plus the L1 yz refiner
+    (pass 3) which must not hurt two-pass quality."""
+    up, stages = 8, 3
+    g1 = G.make_pass1(stages, 32, 2, dtype=jnp.float32)
+    g2 = G.make_pass2(stages, 32, 2, dtype=jnp.float32)
+    p1 = _restore("g1_gan8", g1.init(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 16, 16, 4))))
+    p2 = _restore("g2_gan8", g2.init(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 16, 16 * up, 4))))
+    d, lr, gt = _load_frame("sim_2010", 24)
+    out2 = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=up))
+    psnr2 = assemble.psnr_volume(out2, gt)
+    tri = assemble.psnr_volume(_trilinear(d, up), gt)
+    assert psnr2 >= tri + 2.0, (psnr2, tri)
+    assert psnr2 >= 27.5, psnr2  # measured 29.3 dB at round 2
+
+    g3 = G.make_pass3(32, 2, dtype=jnp.float32)
+    p3 = _restore("g3_l18", g3.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 128, 128, 4))))
+    out3 = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=up,
+                                              gen3=g3, params3=p3))
+    psnr3 = assemble.psnr_volume(out3, gt)
+    assert psnr3 >= psnr2 - 0.1, (psnr3, psnr2)  # measured +0.43 dB

@@ -196,6 +196,32 @@ def test_latest_resumable_picks_newest_same_pass(tmp_path):
     assert ckpt.latest_resumable(str(tmp_path)) == (1, 1)
 
 
+def test_latest_resumable_skips_sidecarless_when_pass_requested(tmp_path):
+    """A checkpoint without a .json sidecar has an unknown pass: with a
+    pass filter it must be skipped (older models in the run are scanned),
+    never guessed — a wrong-pass restore crashes on param shapes."""
+    import json
+    import os
+    from mpgan_tpu.train import checkpoint as ckpt
+
+    run = ckpt.next_run_dir(str(tmp_path))
+    os.makedirs(ckpt.model_dir(run, 0))
+    with open(ckpt.model_dir(run, 0) + ".json", "w") as f:
+        json.dump({"pass_no": 1, "it": 100}, f)
+    os.makedirs(ckpt.model_dir(run, 1))  # newest, but sidecar-less
+    assert ckpt.latest_resumable(str(tmp_path), pass_no=1) == (0, 0)
+    assert ckpt.latest_resumable(str(tmp_path), pass_no=2) is None
+    # without a filter the newest checkpoint is still fine
+    assert ckpt.latest_resumable(str(tmp_path)) == (0, 1)
+
+
+def test_label_smooth_rejected_outside_sce_lsgan():
+    r, f = jnp.asarray([1.0]), jnp.asarray([-1.0])
+    for mode in ("hinge", "wgan"):
+        with pytest.raises(ValueError, match="labelSmooth"):
+            losses.d_loss(r, f, 0.1, mode=mode)
+
+
 def test_steps_per_dispatch_equivalence():
     """K-per-dispatch scan training must behave like single-step (same seed,
     same chunk boundaries at log points)."""
