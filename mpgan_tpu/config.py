@@ -33,6 +33,10 @@ class DataConfig:
     use_velocities: bool = True
     use_vorticities: bool = False
     data_fraction: float = 1.0      # fraction of frames loaded to host RAM
+    mac_recenter: bool = False      # average staggered MAC velocity faces to
+    # cell centers on load (io.uni.recenter_mac). Off by default: the
+    # upstream tooling feeds MAC data as collocated (SURVEY.md §2.3), and
+    # the in-repo solver already writes cell-centered values.
     density_threshold: float = 0.002  # near-empty tile rejection
     augment: bool = True
     rot_mode: int = 2               # 0 none, 1 90°-only, 2 continuous
@@ -93,7 +97,10 @@ class TrainConfig:
     stable_iters: int = 2000        # post-fade iterations per stage
     # parallelism / dispatch
     data_axis: str = "data"
-    steps_per_dispatch: int = 1   # lax.scan'd steps per device program call
+    steps_per_dispatch: int = 0   # lax.scan'd steps per device program call;
+    # 0 = auto: measure the dispatch RPC latency at startup and pick the
+    # smallest power-of-two K keeping dispatch overhead <10% (loop.py
+    # pick_dispatch_k). In-process backends (CPU tests) calibrate to K=1.
     # observability (SURVEY.md §5: tracing / failure detection)
     profile_dir: str = ""         # jax.profiler trace output dir ("" = off)
     debug_nans: bool = False      # jax debug_nans for fast failure detection
@@ -155,6 +162,7 @@ def from_cli(argv: list[str] | None = None) -> Config:
         use_velocities=bool(g("useVelocities", 1)),
         use_vorticities=bool(g("useVorticities", 0)),
         data_fraction=g("dataFraction", DataConfig.data_fraction),
+        mac_recenter=bool(g("macRecenter", 0)),
         density_threshold=g("densityThreshold", DataConfig.density_threshold),
         augment=bool(g("augment", 1)),
         rot_mode=g("rot", DataConfig.rot_mode),

@@ -65,7 +65,7 @@ class FluidDataLoader:
     def __init__(self, base_path: str, from_sim: int, to_sim: int,
                  frame_min: int = 0, frame_max: int = 120,
                  use_velocities: bool = True, data_fraction: float = 1.0,
-                 use_vorticities: bool = False):
+                 use_vorticities: bool = False, mac_recenter: bool = False):
         self.base_path = base_path
         self.sims = list(range(from_sim, to_sim + 1))
         self.frame_min = frame_min
@@ -73,6 +73,7 @@ class FluidDataLoader:
         self.use_velocities = use_velocities
         self.use_vorticities = use_vorticities and use_velocities
         self.data_fraction = data_fraction
+        self.mac_recenter = mac_recenter
 
     def _frames_for(self, sim_dir: str) -> list[int]:
         frames = []
@@ -121,6 +122,11 @@ class FluidDataLoader:
             v_arrs = [uni.readUni(p)[1] for p in v_paths]
             h_arrs = [uni.readUni(p)[1] for p in h_paths]
 
+        if self.mac_recenter:
+            # velocity_low files carry mantaflow's MAC grid type; average the
+            # staggered faces to cell centers (SURVEY.md §2.3 "Verify").
+            # Applied uniformly after decode so it works for both codecs.
+            v_arrs = [uni.recenter_mac(v) for v in v_arrs]
         if self.use_velocities:
             chans = [np.concatenate([d.astype(np.float32),
                                      v.astype(np.float32)], axis=-1)

@@ -92,11 +92,43 @@ def _read_content(stream, head: dict[str, Any]) -> np.ndarray:
     return data.reshape(shape, order="C")
 
 
-def readUni(path: str) -> tuple[dict[str, Any], np.ndarray]:
-    """Read a .uni file → (header dict, array of shape (Z, Y, X, C))."""
+def recenter_mac(vel: np.ndarray) -> np.ndarray:
+    """Average staggered MAC face values to cell centers.
+
+    A mantaflow ``MACGrid`` stores component c of cell (k, j, i) on the
+    cell's *lower* face along axis c (u at i−½, v at j−½, w at k−½); the
+    collocated cell-center value is the mean of the two bounding faces:
+    ``0.5 * (v_c[idx] + v_c[idx + e_c])``, clamped at the upper domain edge.
+    The upstream tempoGAN-family ``uniio.py`` skips this and feeds MAC data
+    to the models as if collocated (SURVEY.md §2.3 "Verify"); pass
+    ``recenter_mac=True`` to :func:`readUni` to close that half-cell offset.
+    """
+    if vel.ndim != 4 or vel.shape[-1] != 3:
+        raise ValueError(f"expected (Z,Y,X,3) velocity, got {vel.shape}")
+    out = np.empty_like(vel)
+    for axis, comp in ((2, 0), (1, 1), (0, 2)):  # vx→X axis, vy→Y, vz→Z
+        v = vel[..., comp]
+        idx = np.arange(1, v.shape[axis] + 1)
+        idx[-1] = v.shape[axis] - 1  # clamp upper edge
+        out[..., comp] = 0.5 * (v + v.take(idx, axis=axis))
+    return out
+
+
+def readUni(path: str, recenter: bool = False
+            ) -> tuple[dict[str, Any], np.ndarray]:
+    """Read a .uni file → (header dict, array of shape (Z, Y, X, C)).
+
+    ``recenter=True`` converts staggered MAC velocity grids (gridType has
+    the TypeMAC bit, vec3 elements) to cell-centered values via
+    :func:`recenter_mac`; other grids are returned unchanged.
+    """
     with gzip.open(path, "rb") as f:
         head = _read_header(f)
-        return head, _read_content(f, head)
+        arr = _read_content(f, head)
+    if recenter and head["elementType"] == ELEM_VEC3 \
+            and head["gridType"] & TYPE_MAC and arr.ndim == 4:
+        arr = recenter_mac(arr)
+    return head, arr
 
 
 def make_header(

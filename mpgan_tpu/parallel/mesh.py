@@ -8,8 +8,14 @@ The reference is single-GPU; parallelism here is first-class:
   convs need no halo exchange, so full-volume inference shards slices the
   same way (see mpgan_tpu.infer).
 
-Multi-host would extend the same mesh over DCN via jax.distributed; the
-helpers below are host-count-agnostic.
+Multi-host: call init_distributed() first (jax.distributed) and the same
+helpers span all hosts — jax.devices() becomes global, make_mesh builds one
+global DATA_AXIS mesh, and XLA routes in-host collectives over ICI and
+cross-host ones over DCN (Gloo on the CPU backend). device_put with a
+cross-process NamedSharding works from identical per-host data, so dataset
+residency (TileCreator.shard_over) and state replication need no special
+casing. Validated end-to-end by the 2-process training test in
+tests/test_multihost.py.
 """
 
 from __future__ import annotations
@@ -21,6 +27,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Join this process into a multi-host jax.distributed job
+    (SURVEY.md §2.15 DCN row).
+
+    Call before any backend use. With no arguments jax auto-detects the
+    cluster environment (TPU pods); on arbitrary hosts pass the
+    coordinator's ``host:port`` plus process count and id. Afterwards
+    ``jax.devices()`` is global and every helper in this module spans all
+    hosts unchanged.
+    """
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:

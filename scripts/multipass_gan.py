@@ -36,6 +36,15 @@ def main(argv=None):
     argv = list(sys.argv[1:]) if argv is None else argv
     ph.setParams(argv)
     # extra flags, read before from_cli's checkUnusedParams
+    # multi-host (SURVEY.md §2.15): join a jax.distributed job before any
+    # backend use so the mesh below spans all hosts' devices
+    coordinator = ph.getParam("coordinator", "")
+    num_processes = int(ph.getParam("numProcesses", 0))
+    process_id = int(ph.getParam("processId", -1))
+    if coordinator or num_processes:
+        from mpgan_tpu.parallel import mesh as pmesh
+        pmesh.init_distributed(coordinator or None, num_processes or None,
+                               process_id if process_id >= 0 else None)
     load_test2 = int(ph.getParam("load_model_test2", -1))
     load_no2 = int(ph.getParam("load_model_no2", -1))
     load_test3 = int(ph.getParam("load_model_test3", -1))
@@ -95,7 +104,8 @@ def run_training(cfg, argv, pass2_source: str = "gt",
     ds = FluidDataLoader(cfg.data.base_path, cfg.data.from_sim, cfg.data.to_sim,
                          cfg.data.frame_min, cfg.data.frame_max,
                          cfg.data.use_velocities, cfg.data.data_fraction,
-                         use_vorticities=cfg.data.use_vorticities).get()
+                         use_vorticities=cfg.data.use_vorticities,
+                         mac_recenter=cfg.data.mac_recenter).get()
 
     pass_no = train_pass if train_pass else (
         1 if cfg.train.first_gen_run else 2)

@@ -238,3 +238,22 @@ def test_loader_truncates_to_min_frames(tmp_path):
                                  rng.random((8, 8, 8), dtype=np.float32))
     ds = FluidDataLoader(str(tmp_path), 1000, 1001, frame_max=4).get()
     assert ds.n_frames == 2 and ds.lr.shape[0] == 4
+
+
+def test_loader_mac_recenter(tmp_path):
+    """macRecenter 1 must equal manual face-averaging of the velocity
+    channels and leave density untouched (SURVEY.md §2.3 'Verify')."""
+    from mpgan_tpu.io import uni
+    base = str(tmp_path)
+    datagen.generate_dataset(base, from_sim=1000, to_sim=1000, res_hi=16,
+                             up_res=2, frames=2, seed=3)
+    plain = FluidDataLoader(base, 1000, 1000, frame_max=2).get()
+    cent = FluidDataLoader(base, 1000, 1000, frame_max=2,
+                           mac_recenter=True).get()
+    np.testing.assert_array_equal(cent.lr[..., 0], plain.lr[..., 0])
+    np.testing.assert_array_equal(cent.hr, plain.hr)
+    for i in range(plain.lr.shape[0]):
+        want = uni.recenter_mac(np.asarray(plain.lr[i, ..., 1:4]))
+        np.testing.assert_allclose(np.asarray(cent.lr[i, ..., 1:4]), want,
+                                   atol=1e-6)
+    assert not np.allclose(cent.lr[..., 1:4], plain.lr[..., 1:4])

@@ -87,3 +87,46 @@ def test_size_mismatch_raises(tmp_path):
     head["dimX"] = 7
     with pytest.raises(ValueError):
         uni.writeUni(str(tmp_path / "bad.uni"), head, dens)
+
+
+def test_recenter_mac_linear_field_exact():
+    """Faces storing u(p)=p at p=x-1/2 (mantaflow lower-face layout) must
+    recenter to exactly u=x at cell centers (interior; upper edge clamps)."""
+    z, y, x = 4, 5, 6
+    vel = np.zeros((z, y, x, 3), np.float32)
+    vel[..., 0] = np.arange(x, dtype=np.float32)[None, None, :] - 0.5
+    vel[..., 1] = np.arange(y, dtype=np.float32)[None, :, None] - 0.5
+    vel[..., 2] = np.arange(z, dtype=np.float32)[:, None, None] - 0.5
+    out = uni.recenter_mac(vel)
+    np.testing.assert_allclose(
+        out[:, :, :-1, 0], np.broadcast_to(np.arange(x - 1, dtype=np.float32),
+                                           (z, y, x - 1)), atol=1e-6)
+    np.testing.assert_allclose(
+        out[:, :-1, :, 1],
+        np.broadcast_to(np.arange(y - 1, dtype=np.float32)[:, None],
+                        (z, y - 1, x)), atol=1e-6)
+    np.testing.assert_allclose(
+        out[:-1, :, :, 2],
+        np.broadcast_to(np.arange(z - 1, dtype=np.float32)[:, None, None],
+                        (z - 1, y, x)), atol=1e-6)
+    # clamped upper edge repeats the last face value
+    np.testing.assert_allclose(out[:, :, -1, 0], vel[:, :, -1, 0], atol=1e-6)
+    # constant fields are invariant
+    const = np.full((3, 3, 3, 3), 2.5, np.float32)
+    np.testing.assert_array_equal(uni.recenter_mac(const), const)
+
+
+def test_readuni_recenter_respects_mac_bit(tmp_path):
+    rng = np.random.default_rng(5)
+    vel = rng.random((4, 4, 4, 3), dtype=np.float32)
+    p_mac = str(tmp_path / "mac.uni")
+    uni.writeUni(p_mac, uni.make_header(vel), vel)  # default: MAC|VEC3
+    _, raw = uni.readUni(p_mac)
+    _, cent = uni.readUni(p_mac, recenter=True)
+    np.testing.assert_allclose(cent, uni.recenter_mac(raw), atol=0)
+    assert not np.allclose(cent, raw)
+    # plain (non-MAC) vec3 grids are untouched by the flag
+    p_vec = str(tmp_path / "vec.uni")
+    uni.writeUni(p_vec, uni.make_header(vel, grid_type=uni.TYPE_VEC3), vel)
+    _, vec = uni.readUni(p_vec, recenter=True)
+    np.testing.assert_array_equal(vec, vel)
