@@ -36,7 +36,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mpgan_tpu.ops.warp import advect_2d as advect_2d_xla
 
-DEFAULT_MAX_DISP = 6  # cells; per-frame semi-Lagrangian backtrace bound
+# Cells; per-frame semi-Lagrangian backtrace bound. Single source of truth
+# shared with LossConfig.warp_max_disp (config.py) so the bare kernel and the
+# train path clamp identically.
+DEFAULT_MAX_DISP = 8
 
 
 def _warp_kernel(fpad_ref, bx_ref, by_ref, o_ref, *, r: int, h: int, w: int):

@@ -31,6 +31,8 @@ def main(argv=None):
         ph.setParams(argv)
     load_test2 = int(ph.getParam("load_model_test2", -1))
     load_no2 = int(ph.getParam("load_model_no2", -1))
+    load_test3 = int(ph.getParam("load_model_test3", -1))
+    load_no3 = int(ph.getParam("load_model_no3", -1))
 
     from mpgan_tpu import config as cfgmod
     cfg = cfgmod.from_cli(None)
@@ -49,19 +51,21 @@ def main(argv=None):
     gen2 = params2 = None
     if load_test2 >= 0:
         gen2, params2 = _load_gen(cfg, 2, load_test2, load_no2)
+    gen3 = params3 = None
+    if load_test3 >= 0:
+        gen3, params3 = _load_gen(cfg, 3, load_test3, load_no3)
 
     mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
     upscale = assemble.make_jitted_upscaler(
         gen1, params1, gen2, params2, cfg.data.up_res,
-        chunk=cfg.infer.slice_chunk, mesh=mesh)
+        chunk=cfg.infer.slice_chunk, mesh=mesh, gen3=gen3, params3=params3)
     s = cfg.data.up_res
 
     psnrs, psnrs_tri = [], []
     tdiffs, tdiffs_gt = [], []
-    prev_out = prev_gt = prev_vel = None
     for sim in range(cfg.data.from_sim, cfg.data.to_sim + 1):
         sim_dir = os.path.join(cfg.data.base_path, f"sim_{sim:04d}")
-        prev_out = prev_gt = prev_vel = None
+        prev_out = prev_gt = None
         for f in range(cfg.infer.frame_min, cfg.infer.frame_max):
             dpath = os.path.join(sim_dir, loader.LOW_DENSITY % f)
             hpath = os.path.join(sim_dir, loader.HIGH_DENSITY % f)
@@ -93,7 +97,7 @@ def main(argv=None):
                 warp_gt = np.asarray(advect_3d(jnp.asarray(prev_gt),
                                                jnp.asarray(v_hr), 1.0))
                 tdiffs_gt.append(float(np.abs(gt - warp_gt).mean()))
-            prev_out, prev_gt, prev_vel = out, gt, v
+            prev_out, prev_gt = out, gt
 
     result = {
         "frames": len(psnrs),
@@ -102,6 +106,7 @@ def main(argv=None):
         "psnr_max": round(float(np.max(psnrs)), 3),
         "trilinear_psnr_mean": round(float(np.mean(psnrs_tri)), 3),
         "two_pass": gen2 is not None,
+        "three_pass": gen3 is not None,
     }
     if tdiffs:
         result["tdiff_mean"] = round(float(np.mean(tdiffs)), 5)
