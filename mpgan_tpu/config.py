@@ -114,6 +114,9 @@ class InferConfig:
     slice_chunk: int = 0            # 0 = auto; slices per device step
     write_uni: bool = True
     write_png: bool = False
+    # pipeline-parallel frame streaming (SURVEY.md §2.14 PP row):
+    # "" = off, "auto" = proportional chips-per-pass, "2,6" = explicit split
+    pipeline_split: str = ""
 
 
 @dataclass
@@ -219,6 +222,7 @@ def from_cli(argv: list[str] | None = None) -> Config:
         slice_chunk=g("sliceChunk", InferConfig.slice_chunk),
         write_uni=bool(g("writeUni", 1)),
         write_png=bool(g("writePng", 0)),
+        pipeline_split=str(g("pipelineSplit", "")),
     )
     ph.checkUnusedParams()
     return Config(data=data, model=model, loss=loss, train=train, infer=infer)

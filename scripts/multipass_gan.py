@@ -288,11 +288,25 @@ def run_inference(cfg, load_test2: int, load_no2: int,
     if load_test3 >= 0:
         gen3, params3 = _load_gen(cfg, 3, load_test3, load_no3)
 
-    mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
     out_dir = ckpt.next_run_dir(cfg.train.test_path)
-    upscale = assemble.make_jitted_upscaler(
-        gen1, params1, gen2, params2, cfg.data.up_res,
-        chunk=cfg.infer.slice_chunk, mesh=mesh, gen3=gen3, params3=params3)
+    pp = upscale = None
+    if (cfg.infer.pipeline_split and gen2 is not None
+            and len(jax.devices()) > 1):
+        from mpgan_tpu.infer import pipeline
+        spec = cfg.infer.pipeline_split
+        split = (None if spec == "auto"
+                 else [int(x) for x in spec.split(",")])
+        pp = pipeline.InferencePipeline(
+            gen1, params1, gen2, params2, cfg.data.up_res, split=split,
+            chunk=cfg.infer.slice_chunk, gen3=gen3, params3=params3)
+        print(f"pipeline-parallel inference: {pp.n_stages} stages, "
+              f"split {pp.split}")
+    else:
+        mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
+        upscale = assemble.make_jitted_upscaler(
+            gen1, params1, gen2, params2, cfg.data.up_res,
+            chunk=cfg.infer.slice_chunk, mesh=mesh, gen3=gen3,
+            params3=params3)
 
     def read_frame(sim, f):
         sim_dir = os.path.join(cfg.data.base_path, f"sim_{sim:04d}")
@@ -319,14 +333,9 @@ def run_inference(cfg, load_test2: int, load_no2: int,
               for f in range(cfg.infer.frame_min, cfg.infer.frame_max)]
     with ThreadPoolExecutor(1) as reader, ThreadPoolExecutor(1) as writer:
         pending = []
-        nxt = reader.submit(read_frame, *frames[0]) if frames else None
-        for i, (sim, f) in enumerate(frames):
-            lr_np, cur = nxt.result(), None
-            if i + 1 < len(frames):
-                nxt = reader.submit(read_frame, *frames[i + 1])
-            if lr_np is None:
-                continue
-            hr = np.asarray(upscale(jnp.asarray(lr_np)))
+
+        def flush(sim, f, hr, lr_shape):
+            hr = np.asarray(hr)
             out = os.path.join(out_dir, f"source_{sim:04d}_{f:04d}.uni")
             # Bound in-flight writes: each future retains a full HR volume
             # (~0.5 GB at 512^3), so if the gzip/PNG writer falls behind
@@ -334,8 +343,25 @@ def run_inference(cfg, load_test2: int, load_no2: int,
             while len(pending) >= 3:
                 pending.pop(0).result()
             pending.append(writer.submit(write_frame, out, hr))
-            print(f"sim {sim} frame {f}: {lr_np.shape[:3]} -> {hr.shape[:3]} "
+            print(f"sim {sim} frame {f}: {lr_shape} -> {hr.shape[:3]} "
                   f"-> {out}")
+
+        inflight = []  # pipeline mode: (sim, f, async volume, lr shape)
+        nxt = reader.submit(read_frame, *frames[0]) if frames else None
+        for i, (sim, f) in enumerate(frames):
+            lr_np = nxt.result()
+            if i + 1 < len(frames):
+                nxt = reader.submit(read_frame, *frames[i + 1])
+            if lr_np is None:
+                continue
+            if pp is not None:
+                inflight.append((sim, f, pp.submit(lr_np), lr_np.shape[:3]))
+                if len(inflight) > pp.n_stages:
+                    flush(*inflight.pop(0))
+            else:
+                flush(sim, f, upscale(jnp.asarray(lr_np)), lr_np.shape[:3])
+        for item in inflight:
+            flush(*item)
         for p in pending:
             p.result()
     print(f"inference outputs in {out_dir}")
