@@ -173,10 +173,12 @@ def precompute_intermediates(gen1, params1, lr_vols: jnp.ndarray,
     SURVEY.md §3.2 — G2 trains on G1 outputs)."""
     if mesh is not None:
         params1 = pmesh.replicate(params1, mesh)
-    fn = jax.jit(partial(pass1_volume, gen1, params1, stage=stage,
-                         chunk=chunk, mesh=mesh))
-    outs = [fn(lr_vols[i]) for i in range(lr_vols.shape[0])]
-    return jnp.stack(outs)
+    one = partial(pass1_volume, gen1, params1, stage=stage,
+                  chunk=chunk, mesh=mesh)
+    # lax.map (not a python loop + stack): the output stack is allocated
+    # once and filled in place — a 480-volume sweep would otherwise hold
+    # the result twice (list + stack) and exhaust HBM
+    return jax.jit(lambda xs: jax.lax.map(one, xs))(lr_vols)
 
 
 def precompute_finals(gen1, params1, gen2, params2, lr_vols: jnp.ndarray,
@@ -186,9 +188,10 @@ def precompute_finals(gen1, params1, gen2, params2, lr_vols: jnp.ndarray,
     if mesh is not None:
         params1 = pmesh.replicate(params1, mesh)
         params2 = pmesh.replicate(params2, mesh)
-    fn = jax.jit(partial(upscale_volume, gen1, params1, gen2, params2,
-                         up_res=up_res, chunk=chunk, mesh=mesh))
-    return jnp.stack([fn(lr_vols[i]) for i in range(lr_vols.shape[0])])
+    one = partial(upscale_volume, gen1, params1, gen2, params2,
+                  up_res=up_res, chunk=chunk, mesh=mesh)
+    # single-allocation sweep — see precompute_intermediates
+    return jax.jit(lambda xs: jax.lax.map(one, xs))(lr_vols)
 
 
 def psnr_volume(fake: np.ndarray, real: np.ndarray, peak: float = 1.0) -> float:
