@@ -67,6 +67,9 @@ class LossConfig:
     gan_loss: str = "sce"           # sce | lsgan | hinge | wgan (ref default sce)
     label_smooth: float = 0.0       # one-sided D label smoothing (real→1−ε)
     r1_gamma: float = 0.0           # R1 penalty γ on D real-input grads (0=off)
+    r1_interval: int = 1            # lazy R1: apply every k-th D step, γ
+    # scaled ×k to keep the effective strength (StyleGAN2 lazy
+    # regularization) — skips the extra D backward on the other k−1 steps
     gp_weight: float = 0.0          # WGAN-GP weight (0=off; pair with wgan)
     # temporal-warp backend: "auto" = Pallas kernel on TPU, XLA elsewhere
     warp_backend: str = "auto"      # auto | pallas | xla
@@ -95,6 +98,9 @@ class TrainConfig:
     use_growing: bool = False
     alpha_iters: int = 2000         # fade-in iterations per new stage
     stable_iters: int = 2000        # post-fade iterations per stage
+    # generator weight EMA (ProGAN-family practice: evaluate/infer with an
+    # exponential moving average of G; 0 = off, typical 0.999)
+    ema_decay: float = 0.0
     # parallelism / dispatch
     data_axis: str = "data"
     steps_per_dispatch: int = 0   # lax.scan'd steps per device program call;
@@ -114,6 +120,7 @@ class InferConfig:
     slice_chunk: int = 0            # 0 = auto; slices per device step
     write_uni: bool = True
     write_png: bool = False
+    use_ema: bool = False           # load gen_ema_%04d instead of gen_%04d
     # pipeline-parallel frame streaming (SURVEY.md §2.14 PP row):
     # "" = off, "auto" = proportional chips-per-pass, "2,6" = explicit split
     pipeline_split: str = ""
@@ -189,6 +196,7 @@ def from_cli(argv: list[str] | None = None) -> Config:
         gan_loss=g("ganLoss", LossConfig.gan_loss),
         label_smooth=g("labelSmooth", LossConfig.label_smooth),
         r1_gamma=g("r1Gamma", LossConfig.r1_gamma),
+        r1_interval=g("r1Interval", LossConfig.r1_interval),
         gp_weight=g("gpWeight", LossConfig.gp_weight),
     )
     train = TrainConfig(
@@ -211,6 +219,7 @@ def from_cli(argv: list[str] | None = None) -> Config:
         use_growing=bool(g("useGrowing", 0)),
         alpha_iters=g("alphaIters", TrainConfig.alpha_iters),
         stable_iters=g("stableIters", TrainConfig.stable_iters),
+        ema_decay=g("emaDecay", TrainConfig.ema_decay),
         steps_per_dispatch=g("stepsPerDispatch", TrainConfig.steps_per_dispatch),
         profile_dir=g("profileDir", TrainConfig.profile_dir),
         debug_nans=bool(g("debugNans", 0)),
@@ -222,6 +231,7 @@ def from_cli(argv: list[str] | None = None) -> Config:
         slice_chunk=g("sliceChunk", InferConfig.slice_chunk),
         write_uni=bool(g("writeUni", 1)),
         write_png=bool(g("writePng", 0)),
+        use_ema=bool(g("useEma", 0)),
         pipeline_split=str(g("pipelineSplit", "")),
     )
     ph.checkUnusedParams()

@@ -107,17 +107,19 @@ def latest_resumable(base: str, pass_no: int | None = None
     return None
 
 
-def save_gen(run: str, no: int, params_g: Any) -> str:
-    """Generator-only checkpoint ``gen_%04d`` (cheap inference restore)."""
-    path = os.path.abspath(os.path.join(run, f"gen_{no:04d}"))
+def save_gen(run: str, no: int, params_g: Any, prefix: str = "gen") -> str:
+    """Generator-only checkpoint ``gen_%04d`` (cheap inference restore).
+    ``prefix="gen_ema"`` stores the EMA generator alongside."""
+    path = os.path.abspath(os.path.join(run, f"{prefix}_{no:04d}"))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.tree.map(np.asarray, params_g))
     ckptr.wait_until_finished()
     return path
 
 
-def restore_gen(run: str, no: int, template_params: Any) -> Any:
-    path = os.path.abspath(os.path.join(run, f"gen_{no:04d}"))
+def restore_gen(run: str, no: int, template_params: Any,
+                prefix: str = "gen") -> Any:
+    path = os.path.abspath(os.path.join(run, f"{prefix}_{no:04d}"))
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template_params)
     return ckptr.restore(path, abstract)

@@ -58,6 +58,7 @@ class StageRuntime:
     step_fade: Callable
     step_stable: Callable
     state: TrainState
+    ema: Any = None     # EMA generator params ({} when emaDecay == 0)
 
 
 _PASS_INPUT_KEY = {1: "lr", 2: "interm", 3: "final"}
@@ -235,7 +236,19 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
         v = jax.image.resize(v, (b, h * fh, w * fw, 2), method="linear")
         return v * jnp.asarray([unit_w, unit_h], dtype=v.dtype)
 
-    def d_losses(p_ds, p_dt, p_g, batch, alpha, key):
+    def _r1_term(apply_fn, x, step):
+        """Lazy R1 (StyleGAN2): apply every ``r1Interval``-th D step with γ
+        scaled ×interval so the effective regularization is unchanged; the
+        extra backward through D is skipped on the other steps (lax.cond
+        executes one branch)."""
+        k = max(lcfg.r1_interval, 1)
+        full = lambda: (0.5 * lcfg.r1_gamma * k *
+                        losses.r1_penalty(apply_fn, x))
+        if k == 1:
+            return full()
+        return jax.lax.cond(step % k == 0, full, lambda: jnp.float32(0.0))
+
+    def d_losses(p_ds, p_dt, p_g, batch, alpha, key, step):
         x_in = _g_input(batch, pass_no)
         fake = jax.lax.stop_gradient(gen_apply(p_g, x_in, alpha))
         real_in = D.condition_ds_input(x_in, batch["hr"], *cond_f)
@@ -245,8 +258,8 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
                                 lcfg.label_smooth, lcfg.gan_loss)
         ks, kt = jax.random.split(key)
         if lcfg.r1_gamma > 0:
-            loss_ds = loss_ds + 0.5 * lcfg.r1_gamma * losses.r1_penalty(
-                lambda x: ds_apply(p_ds, x, alpha), real_in)
+            loss_ds = loss_ds + _r1_term(
+                lambda x: ds_apply(p_ds, x, alpha), real_in, step)
         if lcfg.gp_weight > 0:
             loss_ds = loss_ds + lcfg.gp_weight * losses.gradient_penalty(
                 lambda x: ds_apply(p_ds, x, alpha), real_in, fake_in, ks)
@@ -258,8 +271,8 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
                                     dt_apply(p_dt, trip_fake, alpha),
                                     lcfg.label_smooth, lcfg.gan_loss)
             if lcfg.r1_gamma > 0:
-                loss_dt = loss_dt + 0.5 * lcfg.r1_gamma * losses.r1_penalty(
-                    lambda x: dt_apply(p_dt, x, alpha), trip_real)
+                loss_dt = loss_dt + _r1_term(
+                    lambda x: dt_apply(p_dt, x, alpha), trip_real, step)
             if lcfg.gp_weight > 0:
                 loss_dt = loss_dt + lcfg.gp_weight * losses.gradient_penalty(
                     lambda x: dt_apply(p_dt, x, alpha), trip_real, trip_fake,
@@ -289,7 +302,9 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
                    psnr=losses.psnr(fake, batch["hr"]))
         return total, aux
 
-    def step_core(state: TrainState, data, key, alpha):
+    ema_decay = cfg.train.ema_decay
+
+    def step_core(state: TrainState, ema, data, key, alpha):
         # discRuns D-updates then genRuns G-updates, a fresh batch each
         # (reference §2.11 alternation); loops unroll at trace time
         params_ds, opt_ds_state = state.params_ds, state.opt_ds
@@ -301,7 +316,7 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
 
             def ds_obj(p_ds):
                 l_ds, _ = d_losses(p_ds, params_dt, state.params_g,
-                                   batch_d, alpha, kp)
+                                   batch_d, alpha, kp, state.step)
                 return l_ds
             loss_ds, grads_ds = jax.value_and_grad(ds_obj)(params_ds)
             upd, opt_ds_state = opt_d.update(grads_ds, opt_ds_state, params_ds)
@@ -310,7 +325,7 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
             if temporal:
                 def dt_obj(p_dt):
                     _, l_dt = d_losses(params_ds, p_dt, state.params_g,
-                                       batch_d, alpha, kp)
+                                       batch_d, alpha, kp, state.step)
                     return l_dt
                 loss_dt, grads_dt = jax.value_and_grad(dt_obj)(params_dt)
                 upd, opt_dt_state = opt_d.update(grads_dt, opt_dt_state,
@@ -328,23 +343,28 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
             upd, opt_g_state = opt_g.update(grads_g, opt_g_state, params_g)
             params_g = optax.apply_updates(params_g, upd)
 
+        if ema_decay > 0:
+            ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype)
+                * (1.0 - ema_decay), ema, params_g)
+
         metrics = dict(d_loss=loss_ds, dt_loss=loss_dt, g_loss=loss_g, **aux)
         new_state = TrainState(params_g, opt_g_state, params_ds, opt_ds_state,
                                params_dt, opt_dt_state, state.step + 1)
-        return new_state, metrics
+        return new_state, ema, metrics
 
     # K steps per dispatch: a lax.scan over a vector of per-step alphas.
     # One device program per (stage, fade, K) amortizes host-dispatch latency
     # (~33 ms/RPC on the axon tunnel — SURVEY.md §3.1 rebuild consequence).
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, data, key, alphas):
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(state: TrainState, ema, data, key, alphas):
         def body(carry, alpha):
-            st, k = carry
+            st, em, k = carry
             k, k_step = jax.random.split(k)
-            st, metrics = step_core(st, data, k_step, alpha)
-            return (st, k), metrics
-        (state, _), ms = jax.lax.scan(body, (state, key), alphas)
-        return state, jax.tree.map(lambda x: x[-1], ms)
+            st, em, metrics = step_core(st, em, data, k_step, alpha)
+            return (st, em, k), metrics
+        (state, ema, _), ms = jax.lax.scan(body, (state, ema, key), alphas)
+        return state, ema, jax.tree.map(lambda x: x[-1], ms)
 
     return step
 
@@ -516,8 +536,20 @@ class Trainer:
             opt_dt=opt_d.init(params_dt) if dt is not None else {},
             step=prev.state.step if prev is not None else jnp.zeros((), jnp.int32),
         )
+        ema: Any = {}
+        if self.cfg.train.ema_decay > 0:
+            # EMA starts at the (migrated) generator; at a growth boundary
+            # the old stage's average carries forward and the fresh blocks
+            # start at their params_g init values
+            ema = params_g
+            if prev is not None and prev.ema:
+                ema = growing.migrate_params(prev.ema, params_g)
+            # deep copy in one dispatch: ema and params_g are both donated
+            # to the step, so they must not alias the same buffers
+            ema = jax.jit(lambda t: jax.tree.map(lambda x: x * 1.0, t))(ema)
         if self.mesh is not None:
             state = pmesh.replicate(state, self.mesh)
+            ema = pmesh.replicate(ema, self.mesh)
 
         step_fade = make_train_step(self.cfg, self.tc, gen, ds, dt, stage,
                                     True, self.pass_no, self.mesh,
@@ -525,7 +557,8 @@ class Trainer:
         step_stable = make_train_step(self.cfg, self.tc, gen, ds, dt, stage,
                                       False, self.pass_no, self.mesh,
                                       self.data_sharded)
-        return StageRuntime(stage, gen, ds, dt, step_fade, step_stable, state)
+        return StageRuntime(stage, gen, ds, dt, step_fade, step_stable, state,
+                            ema)
 
     # ------------------------------------------------------------------ fit
 
@@ -542,11 +575,20 @@ class Trainer:
         key = jax.random.PRNGKey(self.cfg.train.rand_seed)
         self.rt = self._init_stage(stage, key, None)
         state, _ = ckpt.restore(run_dir, model_no, self.rt.state)
+        ema = self.rt.ema
+        if self.cfg.train.ema_decay > 0:
+            try:
+                ema = ckpt.restore_gen(run_dir, model_no, state.params_g,
+                                       prefix="gen_ema")
+            except FileNotFoundError:
+                # pre-EMA checkpoint: restart the average from the params
+                ema = jax.jit(lambda t: jax.tree.map(lambda x: x * 1.0, t))(
+                    state.params_g)
         if self.mesh is not None:
             state = pmesh.replicate(state, self.mesh)
-        self.rt = StageRuntime(self.rt.stage, self.rt.gen, self.rt.ds,
-                               self.rt.dt, self.rt.step_fade,
-                               self.rt.step_stable, state)
+            ema = pmesh.replicate(ema, self.mesh)
+        import dataclasses
+        self.rt = dataclasses.replace(self.rt, state=state, ema=ema)
         return int(meta.get("it", 0))
 
     def fit(self, iters: int | None = None, log_every: int | None = None,
@@ -610,7 +652,8 @@ class Trainer:
             key, k_step = jax.random.split(key)
             fn = self.rt.step_fade if fade else self.rt.step_stable
             t_disp = time.perf_counter()
-            state, metrics = fn(self.rt.state, self._data(), k_step, alphas)
+            state, ema, metrics = fn(self.rt.state, self.rt.ema, self._data(),
+                                     k_step, alphas)
             if auto_disp:
                 # drain the pipeline so the next dispatch is timed honestly;
                 # dispatch 0 pays compile, dispatch 1 is the measurement
@@ -623,7 +666,7 @@ class Trainer:
             n_disp += 1
             self.rt = StageRuntime(self.rt.stage, self.rt.gen, self.rt.ds,
                                    self.rt.dt, self.rt.step_fade,
-                                   self.rt.step_stable, state)
+                                   self.rt.step_stable, state, ema)
             it += chunk
 
             if (it - chunk) // log_every != it // log_every or it >= iters:

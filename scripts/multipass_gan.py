@@ -147,6 +147,8 @@ def run_training(cfg, argv, pass2_source: str = "gt",
                     pass_no=trainer.pass_no, up_res=tc.up_res)
         ckpt.save(run, no, trainer.rt.state, meta)
         ckpt.save_gen(run, no, trainer.rt.state.params_g)
+        if cfg.train.ema_decay > 0:
+            ckpt.save_gen(run, no, trainer.rt.ema, prefix="gen_ema")
         print(f"  saved model_{no:04d} at iter {it}")
 
     writer = preview.MetricsWriter(run)
@@ -195,10 +197,13 @@ def run_training(cfg, argv, pass2_source: str = "gt",
         key = jax.random.PRNGKey(cfg.train.rand_seed)
         tr.rt = tr._init_stage(tr.n_stages, key, None)
         params_g = ckpt.restore_gen(prev_run, no, tr.rt.state.params_g)
-        from mpgan_tpu.train.loop import StageRuntime
-        tr.rt = StageRuntime(tr.rt.stage, tr.rt.gen, tr.rt.ds, tr.rt.dt,
-                             tr.rt.step_fade, tr.rt.step_stable,
-                             tr.rt.state._replace(params_g=params_g))
+        import dataclasses
+        ema = tr.rt.ema
+        if cfg.train.ema_decay > 0:  # restart the average at the warm start
+            ema = jax.jit(lambda t: jax.tree.map(lambda x: x * 1.0, t))(
+                params_g)
+        tr.rt = dataclasses.replace(
+            tr.rt, state=tr.rt.state._replace(params_g=params_g), ema=ema)
         print(f"warm-started generator from {prev_run}/gen_{no:04d}")
     if pass_no == 1 and warm_test < 0 and cfg.train.load_model_test >= 0:
         # pass-1 semantics: load_model_* resumes training (reference behavior);
@@ -221,6 +226,8 @@ def run_training(cfg, argv, pass2_source: str = "gt",
               dict(it=total_iters, stage=tr.rt.stage,
                    pass_no=tr.pass_no, up_res=tc.up_res))
     ckpt.save_gen(run, no, tr.rt.state.params_g)
+    if cfg.train.ema_decay > 0:
+        ckpt.save_gen(run, no, tr.rt.ema, prefix="gen_ema")
     print(f"done: {last}")
     return run
 
@@ -251,6 +258,15 @@ def _load_gen(cfg, pass_no, run_idx, model_no):
         gen = G.make_pass3(mcfg.n_base_filters, mcfg.n_res_blocks, dtype=dtype)
         h = w = t * cfg.data.up_res
     template = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, c_in)))
+    if cfg.infer.use_ema:
+        try:
+            return gen, ckpt.restore_gen(run, model_no, template,
+                                         prefix="gen_ema")
+        except FileNotFoundError:
+            # pass trained without emaDecay: fall back to the raw weights so
+            # useEma 1 composes with mixed EMA/non-EMA pass chains
+            print(f"  useEma: no gen_ema_{model_no:04d} in {run}; "
+                  "using gen_", file=sys.stderr)
     params = ckpt.restore_gen(run, model_no, template)
     return gen, params
 

@@ -66,6 +66,15 @@ def test_train_and_infer_cli(workdir):
     assert vol.shape == (32, 32, 32, 1)
     assert np.isfinite(vol).all()
 
+    # useEma 1 against a run trained without emaDecay: _load_gen falls back
+    # to the raw gen_ weights instead of failing on the missing gen_ema_
+    out = _run("multipass_gan.py",
+               f"out 1 basePath {d}/data/ fromSim 1000 toSim 1000 upRes 4 "
+               "tileSizeLow 6 useVelocities 1 load_model_test 0 "
+               "load_model_no 2 outFrameMin 3 outFrameMax 4 genFilters 8 "
+               f"genBlocks 1 dtype float32 useEma 1 testPath {d}/runs/", d)
+    assert "inference outputs" in out
+
 
 def test_eval_cli(workdir):
     d = str(workdir)

@@ -535,3 +535,110 @@ def test_ttur_lrdisc_sets_disc_lr():
         upd, _ = opt.update(g, opt.init(p), p)
         got = float(jnp.abs(upd["w"][0]))
         assert abs(got - want) / want < 1e-3, (disc, got, want)
+
+
+# ------------------------------------------------ EMA + lazy R1 (round 2)
+
+def test_ema_tracks_generator_exactly():
+    """emaDecay: after each G update, ema = d*ema + (1-d)*params, starting
+    at the init params (ProGAN-family eval-weights practice)."""
+    import dataclasses
+    ds = _dataset()
+    cfg = _config(stages=1)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.5))
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    tr = Trainer(cfg, tc)
+    tr.rt = tr._init_stage(1, jax.random.PRNGKey(cfg.train.rand_seed), None)
+    leaf = lambda t: np.asarray(t["params"]["stem"]["kernel"])
+    p0 = leaf(tr.rt.state.params_g)
+    np.testing.assert_array_equal(leaf(tr.rt.ema), p0)
+
+    tr.fit(iters=1, log_every=1)
+    p1, e1 = leaf(tr.rt.state.params_g), leaf(tr.rt.ema)
+    np.testing.assert_allclose(e1, 0.5 * p0 + 0.5 * p1, rtol=1e-6)
+
+    tr.fit(iters=2, start_it=1, log_every=1)
+    p2, e2 = leaf(tr.rt.state.params_g), leaf(tr.rt.ema)
+    np.testing.assert_allclose(e2, 0.5 * e1 + 0.5 * p2, rtol=1e-6)
+
+
+def test_ema_migrates_across_growth():
+    import dataclasses
+    ds = _dataset(s=4)
+    cfg = _config(stages=2, growing=True)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.9))
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    tr = Trainer(cfg, tc)
+    out = tr.fit(iters=8, log_every=1)
+    assert np.isfinite(out["g_loss"])
+    flat_p = jax.tree_util.tree_structure(tr.rt.state.params_g)
+    flat_e = jax.tree_util.tree_structure(tr.rt.ema)
+    assert flat_p == flat_e  # ema grew in lockstep with the generator
+    for e in jax.tree_util.tree_leaves(tr.rt.ema):
+        assert np.isfinite(np.asarray(e)).all()
+
+
+def test_ema_checkpoint_roundtrip(tmp_path):
+    """gen_ema checkpoints restore on resume; pre-EMA checkpoints fall back
+    to restarting the average from the restored params."""
+    import dataclasses
+    from mpgan_tpu.train import checkpoint as ckpt
+    ds = _dataset()
+    cfg = _config(stages=1)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.5))
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    tr = Trainer(cfg, tc)
+    tr.fit(iters=2, log_every=1)
+    leaf = lambda t: np.asarray(t["params"]["stem"]["kernel"])
+
+    run = ckpt.next_run_dir(str(tmp_path))
+    ckpt.save(run, 0, tr.rt.state, dict(it=2, stage=1, pass_no=1))
+    ckpt.save_gen(run, 0, tr.rt.ema, prefix="gen_ema")
+    tr2 = Trainer(cfg, tc)
+    assert tr2.restore(run, 0) == 2
+    np.testing.assert_array_equal(leaf(tr2.rt.ema), leaf(tr.rt.ema))
+
+    run2 = ckpt.next_run_dir(str(tmp_path))  # no gen_ema saved (pre-EMA)
+    ckpt.save(run2, 0, tr.rt.state, dict(it=2, stage=1, pass_no=1))
+    tr3 = Trainer(cfg, tc)
+    tr3.restore(run2, 0)
+    np.testing.assert_array_equal(leaf(tr3.rt.ema),
+                                  leaf(tr3.rt.state.params_g))
+
+
+def test_lazy_r1_scaled_gamma_matches_dense_at_apply_step():
+    """StyleGAN2 lazy regularization: on an apply step, interval-k with γ
+    equals interval-1 with γ·k exactly (same seed, same batches)."""
+    import dataclasses
+    ds = _dataset()
+    base = _config(stages=1)
+    mk = lambda g, k: dataclasses.replace(
+        base, loss=dataclasses.replace(base.loss, gan_loss="hinge",
+                                       r1_gamma=g, r1_interval=k))
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    o_lazy = Trainer(mk(20.0, 2), tc).fit(iters=1, log_every=1)
+    o_dense = Trainer(mk(40.0, 1), tc).fit(iters=1, log_every=1)
+    assert abs(o_lazy["d_loss"] - o_dense["d_loss"]) < 1e-5, \
+        (o_lazy["d_loss"], o_dense["d_loss"])
+
+
+def test_lazy_r1_skips_off_steps():
+    """The penalty is absent on non-apply steps: a 2-iter lazy run diverges
+    from the every-step run (identical otherwise)."""
+    import dataclasses
+    ds = _dataset()
+    base = _config(stages=1)
+    mk = lambda k: dataclasses.replace(
+        base, loss=dataclasses.replace(base.loss, gan_loss="hinge",
+                                       r1_gamma=10.0, r1_interval=k))
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    tr_l, tr_d = Trainer(mk(2), tc), Trainer(mk(1), tc)
+    o_l = tr_l.fit(iters=2, log_every=1)
+    o_d = tr_d.fit(iters=2, log_every=1)
+    assert np.isfinite(o_l["d_loss"]) and np.isfinite(o_d["d_loss"])
+    w_l = np.asarray(jax.tree_util.tree_leaves(tr_l.rt.state.params_ds)[0])
+    w_d = np.asarray(jax.tree_util.tree_leaves(tr_d.rt.state.params_ds)[0])
+    assert not np.allclose(w_l, w_d)
