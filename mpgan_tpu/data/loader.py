@@ -123,10 +123,13 @@ class FluidDataLoader:
             h_arrs = [uni.readUni(p)[1] for p in h_paths]
 
         if self.mac_recenter:
-            # velocity_low files carry mantaflow's MAC grid type; average the
-            # staggered faces to cell centers (SURVEY.md §2.3 "Verify").
-            # Applied uniformly after decode so it works for both codecs.
-            v_arrs = [uni.recenter_mac(v) for v in v_arrs]
+            # average staggered MAC faces to cell centers (SURVEY.md §2.3
+            # "Verify") — but only for files whose header carries TypeMAC;
+            # already-cell-centered Vec3 grids must pass through untouched.
+            # The header peek is codec-independent (native or Python decode).
+            v_arrs = [uni.recenter_mac(v)
+                      if uni.read_gridtype(p) & uni.TYPE_MAC else v
+                      for p, v in zip(v_paths, v_arrs)]
         if self.use_velocities:
             chans = [np.concatenate([d.astype(np.float32),
                                      v.astype(np.float32)], axis=-1)

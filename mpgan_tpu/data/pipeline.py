@@ -274,8 +274,8 @@ def _sample_pass3(lr, final_src, hr, dense_idx, key, batch: int, plane: str,
     return out
 
 
-def _shard_dense(dense: np.ndarray, n_shards: int,
-                 vols_per_shard: int) -> np.ndarray:
+def _shard_dense(dense: np.ndarray, n_shards: int, vols_per_shard: int,
+                 grid_shape: tuple[int, int, int]) -> np.ndarray:
     """Partition a global (K, 4) dense-cell index by volume shard.
 
     Returns (n_shards·M, 4) with *shard-local* volume indices; each shard's
@@ -283,16 +283,31 @@ def _shard_dense(dense: np.ndarray, n_shards: int,
     shard_map sees equal shapes (rows stay intact: np.resize tiles the flat
     buffer and the row length divides it). Sampling draws uniformly from a
     shard's block, so the tiling keeps the within-shard distribution ~uniform.
+
+    A shard whose local volumes have NO above-threshold cells falls back to
+    a uniform lattice over all its local pooled cells (subsampled for size
+    parity with the other shards) — mirroring the unsharded degenerate
+    fallback — rather than pinning that device's sampling to one cell.
     """
     blocks = []
     for s in range(n_shards):
         lo = s * vols_per_shard
         blk = dense[(dense[:, 0] >= lo) &
                     (dense[:, 0] < lo + vols_per_shard)].copy()
-        if blk.shape[0] == 0:  # fully-empty shard: allow anywhere local
-            blk = np.zeros((1, 4), dense.dtype)
         blk[:, 0] -= lo
         blocks.append(blk)
+    cap = max([b.shape[0] for b in blocks if b.shape[0]] or [1024])
+    for s, blk in enumerate(blocks):
+        if blk.shape[0] == 0:  # fully-empty shard: anywhere local, uniform
+            gz, gy, gx = grid_shape
+            full = np.stack(np.meshgrid(
+                np.arange(vols_per_shard), np.arange(gz), np.arange(gy),
+                np.arange(gx), indexing="ij"), -1).reshape(-1, 4)
+            if full.shape[0] > cap:
+                sel = np.random.default_rng(s).choice(
+                    full.shape[0], size=cap, replace=False)
+                full = full[np.sort(sel)]
+            blocks[s] = full.astype(dense.dtype)
     m = max(b.shape[0] for b in blocks)
     return np.concatenate([np.resize(b, (m, 4)) for b in blocks])
 
@@ -350,6 +365,7 @@ class TileCreator:
             d.shape[0], nz // pool[0], pool[0], ny // pool[1], pool[1],
             nx // pool[2], pool[2]).mean(axis=(2, 4, 6))
         dense = np.argwhere(pooled >= density_threshold)
+        self._pooled_shape = tuple(pooled.shape[1:])
         if dense.shape[0] == 0:  # degenerate (all-empty data): allow anywhere
             dense = np.argwhere(np.ones_like(pooled, dtype=bool))
         self.dense_idx = jnp.asarray(dense.astype(np.int32))
@@ -407,11 +423,11 @@ class TileCreator:
         vols = self.st.n_vols // n_dev
         self.st_local = self.st._replace(n_vols=vols)
         self.dense_idx = jax.device_put(
-            _shard_dense(np.asarray(self.dense_idx), n_dev, vols),
-            self._vol_sharding)
+            _shard_dense(np.asarray(self.dense_idx), n_dev, vols,
+                         self._pooled_shape), self._vol_sharding)
         self.dense_idx_t = jax.device_put(
-            _shard_dense(np.asarray(self.dense_idx_t), n_dev, vols),
-            self._vol_sharding)
+            _shard_dense(np.asarray(self.dense_idx_t), n_dev, vols,
+                         self._pooled_shape), self._vol_sharding)
         # re-place anything already resident (interm/final given at init)
         for k, v in list(self._dev.items()):
             self._dev[k] = jax.device_put(v, self._vol_sharding)

@@ -106,19 +106,11 @@ class InferencePipeline:
             vel = lr_vol[..., 1:4] if lr_vol.shape[-1] >= 4 else None
             return interm, vel
 
-        last_gen3 = gen3 if self.n_stages == 2 else None
-        last_p3 = (pmesh.replicate(params3, meshes[1])
-                   if last_gen3 is not None else None)
-
         @jax.jit
         def fn2(interm, vel):
-            out = assemble.pass2_volume(gen2, p2, interm, vel, up_res,
-                                        stage=stage, chunk=chunk,
-                                        mesh=meshes[1])
-            if last_gen3 is not None:
-                out = assemble.pass3_volume(last_gen3, last_p3, out, vel,
-                                            chunk=chunk, mesh=meshes[1])
-            return out
+            return assemble.pass2_volume(gen2, p2, interm, vel, up_res,
+                                         stage=stage, chunk=chunk,
+                                         mesh=meshes[1])
 
         self._fn1, self._fn2, self._fn3 = fn1, fn2, None
         self._rep1 = pmesh.replicated(meshes[0])

@@ -92,6 +92,14 @@ def _read_content(stream, head: dict[str, Any]) -> np.ndarray:
     return data.reshape(shape, order="C")
 
 
+def read_gridtype(path: str) -> int:
+    """Cheap header peek: the gridType bitfield without decoding the grid
+    (292 compressed bytes). Lets callers gate MAC recentering on TypeMAC
+    regardless of which codec decodes the payload."""
+    with gzip.open(path, "rb") as f:
+        return _read_header(f)["gridType"]
+
+
 def recenter_mac(vel: np.ndarray) -> np.ndarray:
     """Average staggered MAC face values to cell centers.
 

@@ -22,7 +22,26 @@ import orbax.checkpoint as ocp
 
 
 def next_run_dir(base: str) -> str:
-    """Create and return the next free ``test_%04d`` run dir under base."""
+    """Create and return the next free ``test_%04d`` run dir under base.
+
+    Multi-process jobs: only process 0 lists/creates (two processes listing
+    the same shared ``base`` would race to the same index and collide on
+    makedirs); the chosen index is broadcast so every process returns the
+    same path. Non-lead processes must not write into it — the train driver
+    gates all file output on ``jax.process_index() == 0``.
+    """
+    if jax.process_count() > 1:
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+        idx = 0
+        if jax.process_index() == 0:
+            idx = int(os.path.basename(_next_run_dir_local(base))[5:])
+        idx = int(multihost_utils.broadcast_one_to_all(jnp.int32(idx)))
+        return run_dir(base, idx)
+    return _next_run_dir_local(base)
+
+
+def _next_run_dir_local(base: str) -> str:
     os.makedirs(base, exist_ok=True)
     existing = [int(m.group(1)) for d in os.listdir(base)
                 if (m := re.fullmatch(r"test_(\d{4})", d))]
@@ -30,6 +49,17 @@ def next_run_dir(base: str) -> str:
     path = os.path.join(base, f"test_{idx:04d}")
     os.makedirs(path)
     return path
+
+
+def host_leaf(x: Any) -> np.ndarray:
+    """Fetch one leaf to host for serialization. Replicated global arrays in
+    a multi-process job are not fully addressable (np.asarray raises); their
+    local replica shard IS the full value, so save that. Train state is
+    always replicated over the mesh — dataset stacks (the only sharded
+    arrays) are never checkpointed."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        x = x.addressable_data(0)
+    return np.asarray(x)
 
 
 def run_dir(base: str, index: int) -> str:
@@ -41,13 +71,18 @@ def model_dir(run: str, no: int) -> str:
 
 
 def save(run: str, no: int, state: Any, meta: dict) -> str:
-    """Save train state + metadata as checkpoint ``model_%04d``."""
+    """Save train state + metadata as checkpoint ``model_%04d``.
+
+    Multi-process jobs must call this from EVERY process — orbax
+    checkpointers are collective (internal sync barriers; the primary does
+    the writing). Only the JSON sidecar is written lead-only here."""
     path = os.path.abspath(model_dir(run, no))
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.tree.map(np.asarray, _as_pytree(state)))
+    ckptr.save(path, jax.tree.map(host_leaf, _as_pytree(state)))
     ckptr.wait_until_finished()
-    with open(path + ".json", "w") as f:
-        json.dump(meta, f, indent=1)
+    if jax.process_index() == 0:
+        with open(path + ".json", "w") as f:
+            json.dump(meta, f, indent=1)
     return path
 
 
@@ -112,7 +147,7 @@ def save_gen(run: str, no: int, params_g: Any, prefix: str = "gen") -> str:
     ``prefix="gen_ema"`` stores the EMA generator alongside."""
     path = os.path.abspath(os.path.join(run, f"{prefix}_{no:04d}"))
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.tree.map(np.asarray, params_g))
+    ckptr.save(path, jax.tree.map(host_leaf, params_g))
     ckptr.wait_until_finished()
     return path
 

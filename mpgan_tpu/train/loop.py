@@ -64,6 +64,13 @@ class StageRuntime:
 _PASS_INPUT_KEY = {1: "lr", 2: "interm", 3: "final"}
 
 
+def copy_tree(tree):
+    """Device-side deep copy in one dispatch. Needed wherever a tree (e.g.
+    the EMA params) must not alias buffers that are also donated to the
+    train step — donation would otherwise invalidate the shared storage."""
+    return jax.jit(lambda t: jax.tree.map(lambda x: x * 1.0, t))(tree)
+
+
 def _make_opt(cfg: Config, disc: bool = False) -> optax.GradientTransformation:
     """Single source of truth for the optimizer (init and updates must match).
 
@@ -419,9 +426,17 @@ class Trainer:
         self.cfg = cfg
         self.tc = tc
         self.mesh = mesh
-        # shard dataset residency over the mesh when the sim count allows it
-        # (whole sims per device; see TileCreator.shard_over).
+        # shard dataset residency over the mesh when the sim count AND the
+        # batch size divide evenly (whole sims per device; see
+        # TileCreator.shard_over — each device draws batch/n_dev samples).
+        # Otherwise residency stays replicated, which trains any batch size.
         # shard_data=False keeps residency replicated (A/B + fallback).
+        if (shard_data and mesh is not None
+                and cfg.train.batch_size % int(mesh.devices.size)):
+            print(f"  batchSize {cfg.train.batch_size} does not divide over "
+                  f"{int(mesh.devices.size)} devices; dataset residency "
+                  "stays replicated")
+            shard_data = False
         self.data_sharded = bool(
             shard_data and mesh is not None and hasattr(tc, "shard_over")
             and tc.shard_over(mesh))
@@ -544,9 +559,8 @@ class Trainer:
             ema = params_g
             if prev is not None and prev.ema:
                 ema = growing.migrate_params(prev.ema, params_g)
-            # deep copy in one dispatch: ema and params_g are both donated
-            # to the step, so they must not alias the same buffers
-            ema = jax.jit(lambda t: jax.tree.map(lambda x: x * 1.0, t))(ema)
+            # ema and params_g are both donated to the step: no aliasing
+            ema = copy_tree(ema)
         if self.mesh is not None:
             state = pmesh.replicate(state, self.mesh)
             ema = pmesh.replicate(ema, self.mesh)
@@ -582,8 +596,7 @@ class Trainer:
                                        prefix="gen_ema")
             except FileNotFoundError:
                 # pre-EMA checkpoint: restart the average from the params
-                ema = jax.jit(lambda t: jax.tree.map(lambda x: x * 1.0, t))(
-                    state.params_g)
+                ema = copy_tree(state.params_g)
         if self.mesh is not None:
             state = pmesh.replicate(state, self.mesh)
             ema = pmesh.replicate(ema, self.mesh)
@@ -662,6 +675,14 @@ class Trainer:
                     k_disp = pick_dispatch_k(
                         time.perf_counter() - t_disp, measure_dispatch_pair_s(),
                         cap=min(64, max(1, log_every)))
+                    if jax.process_count() > 1:
+                        # per-process wall timings can straddle a threshold
+                        # and pick different K → different scan lengths →
+                        # mismatched SPMD programs whose collectives hang;
+                        # all processes must run process 0's choice
+                        from jax.experimental import multihost_utils
+                        k_disp = int(multihost_utils.broadcast_one_to_all(
+                            jnp.int32(k_disp)))
                     auto_disp = False
             n_disp += 1
             self.rt = StageRuntime(self.rt.stage, self.rt.gen, self.rt.ds,

@@ -122,13 +122,16 @@ def auto_match(tf_vars: Mapping[str, np.ndarray], params: Any
 
 def import_params(tf_vars: Mapping[str, np.ndarray], params_template: Any,
                   name_map: Mapping[str, str] | None = None,
-                  dtype: Any = np.float32) -> tuple[Any, dict[str, str]]:
+                  dtype: Any = np.float32
+                  ) -> tuple[Any, dict[str, str], list[str]]:
     """Build a flax param tree from TF1 variables.
 
     ``name_map`` (flax slash-path → TF name) overrides auto-matching for the
     keys it covers; remaining leaves are auto-matched against the TF
     variables not claimed by the map. Shapes are verified leaf-by-leaf.
-    Returns ``(params, mapping_used)``.
+    Returns ``(params, mapping_used, ambiguous)`` — ``ambiguous`` is the
+    auto-matcher's multi-candidate list for the mapping actually used (so
+    callers report it without re-running the match).
     """
     name_map = dict(name_map or {})
     flat = _flat_params(params_template)
@@ -144,12 +147,13 @@ def import_params(tf_vars: Mapping[str, np.ndarray], params_template: Any,
                     f"TF {tf_name} {tuple(tf_vars[tf_name].shape)}")
     mapped_tf = set(name_map.values())
     rest_template_keys = [k for k, _ in flat if k not in name_map]
+    ambiguous: list[str] = []
     if rest_template_keys:
         sub_tf = {n: v for n, v in tf_vars.items() if n not in mapped_tf}
         # rebuild a sub-template containing only unmapped leaves
         leaves = {k: v for k, v in flat}
         sub = {k: leaves[k] for k in rest_template_keys}
-        auto, _ = auto_match(sub_tf, sub)
+        auto, ambiguous = auto_match(sub_tf, sub)
         name_map.update(auto)
 
     arrays = {key: np.asarray(tf_vars[name_map[key]], dtype=dtype)
@@ -161,4 +165,5 @@ def import_params(tf_vars: Mapping[str, np.ndarray], params_template: Any,
         if keys and keys[0] == "params":
             keys = keys[1:]
         new_leaves.append(arrays["/".join(keys)].astype(leaf.dtype))
-    return jax.tree_util.tree_unflatten(flat_paths[1], new_leaves), name_map
+    return (jax.tree_util.tree_unflatten(flat_paths[1], new_leaves),
+            name_map, ambiguous)

@@ -44,4 +44,11 @@ run "8x_twopass_ganscratch" $E8 testPath .data8/ganexp2/ load_model_test 1 load_
 run "8x_threepass_gan_l1p3" $E8 testPath .data8/ganexp2/ load_model_test 1 load_model_no 7 load_model_test2 2 load_model_no2 7 load_model_test3 4 load_model_no3 4
 run "8x_threepass_gan_advp3" $E8 testPath .data8/ganexp2/ load_model_test 1 load_model_no 7 load_model_test2 2 load_model_no2 7 load_model_test3 3 load_model_no3 4
 
+# r2: GAN fine-tunes retrained with lazy R1 (r1Interval 16) + emaDecay 0.999;
+# the _ema rows evaluate the averaged generator (useEma 1) of the SAME runs
+run "4x_twopass_ganft_lazyr1"     $E4 testPath .data/l1long/   load_model_test 4 load_model_no 4 load_model_test2 1 load_model_no2 6
+run "4x_twopass_ganft_lazyr1_ema" $E4 testPath .data/l1long/   load_model_test 4 load_model_no 4 load_model_test2 1 load_model_no2 6 useEma 1
+run "8x_twopass_ganft_lazyr1"     $E8 testPath .data8/l1long8/ load_model_test 3 load_model_no 4 load_model_test2 1 load_model_no2 6
+run "8x_twopass_ganft_lazyr1_ema" $E8 testPath .data8/l1long8/ load_model_test 3 load_model_no 4 load_model_test2 1 load_model_no2 6 useEma 1
+
 echo EVALS_DONE

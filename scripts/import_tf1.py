@@ -68,12 +68,11 @@ def main(argv=None):
 
     tf_vars = tf1_import.read_tf1_variables(ckpt_path)
     print(f"checkpoint {ckpt_path}: {len(tf_vars)} model variables")
-    params, mapping = tf1_import.import_params(tf_vars, template, name_map)
-    if name_map is None:
-        _, ambiguous = tf1_import.auto_match(tf_vars, template)
-        for key in ambiguous:
-            print(f"  ambiguous (shape-tied, first-name match): {key} <- "
-                  f"{mapping[key]}")
+    params, mapping, ambiguous = tf1_import.import_params(tf_vars, template,
+                                                          name_map)
+    for key in ambiguous:
+        print(f"  ambiguous (shape-tied, first-name match): {key} <- "
+              f"{mapping[key]}")
 
     run = ckpt.next_run_dir(cfg.train.test_path)
     ckpt.save_gen(run, 0, params)

@@ -136,8 +136,13 @@ def run_training(cfg, argv, pass2_source: str = "gt",
                      cfg.data.scale_min, cfg.data.scale_max, interm=interm,
                      final=final)
     mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
+    # multi-process: next_run_dir agrees on one path (process 0 creates it);
+    # all file output below is lead-gated so hosts sharing a filesystem
+    # don't clobber each other's metrics/checkpoints
+    lead = jax.process_index() == 0
     run = ckpt.next_run_dir(cfg.train.test_path)
-    ckpt.save_param_log(run, cfg, argv)
+    if lead:
+        ckpt.save_param_log(run, cfg, argv)
     print(f"run dir: {run}; devices: {len(jax.devices())} "
           f"({jax.default_backend()}); pass {pass_no}")
 
@@ -149,9 +154,10 @@ def run_training(cfg, argv, pass2_source: str = "gt",
         ckpt.save_gen(run, no, trainer.rt.state.params_g)
         if cfg.train.ema_decay > 0:
             ckpt.save_gen(run, no, trainer.rt.ema, prefix="gen_ema")
-        print(f"  saved model_{no:04d} at iter {it}")
+        if lead:
+            print(f"  saved model_{no:04d} at iter {it}")
 
-    writer = preview.MetricsWriter(run)
+    writer = preview.MetricsWriter(run) if lead else None
     preview_key = jax.random.PRNGKey(12345)
     preview_fns = {}  # (id(gen), stage) -> jitted forward (eager apply would
     # pay ~33 ms/primitive through the remote-dispatch tunnel)
@@ -200,8 +206,8 @@ def run_training(cfg, argv, pass2_source: str = "gt",
         import dataclasses
         ema = tr.rt.ema
         if cfg.train.ema_decay > 0:  # restart the average at the warm start
-            ema = jax.jit(lambda t: jax.tree.map(lambda x: x * 1.0, t))(
-                params_g)
+            from mpgan_tpu.train.loop import copy_tree
+            ema = copy_tree(params_g)
         tr.rt = dataclasses.replace(
             tr.rt, state=tr.rt.state._replace(params_g=params_g), ema=ema)
         print(f"warm-started generator from {prev_run}/gen_{no:04d}")
@@ -217,11 +223,18 @@ def run_training(cfg, argv, pass2_source: str = "gt",
         total_iters = start_it + cfg.train.training_iters  # additional iters
         print(f"resumed from {prev_run}/model_{no:04d} at iter {start_it}; "
               f"training to {total_iters}")
+    # on_checkpoint runs on every process (orbax saves are collective);
+    # on_log (metrics csv/tb + preview PNGs) is lead-only
     last = tr.fit(iters=total_iters, on_checkpoint=on_checkpoint,
-                  on_log=on_log, start_it=start_it)
-    # final checkpoint: next free number after any periodic saves
+                  on_log=on_log if lead else None, start_it=start_it)
+    # final checkpoint: next free number after any periodic saves; lead
+    # decides (per-host listings could disagree on non-shared filesystems,
+    # and orbax's collective save needs all processes on one path)
     no = (ckpt.latest_model_no(run) or -1) + 1 if ckpt.latest_model_no(run) \
         is not None else 0
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        no = int(multihost_utils.broadcast_one_to_all(jnp.int32(no)))
     ckpt.save(run, no, tr.rt.state,
               dict(it=total_iters, stage=tr.rt.stage,
                    pass_no=tr.pass_no, up_res=tc.up_res))

@@ -62,8 +62,21 @@ def main():
     local_vols = sum(sh.data.shape[0] for sh in tc.lr.addressable_shards)
     assert local_vols == tc.lr.shape[0] // 2, local_vols
     out = tr.fit(iters=2, log_every=1)
-    print(f"MHRESULT {pid} {out['g_loss']:.6f} {jax.process_count()}",
-          flush=True)
+
+    # shared-filesystem checkpoint contract: every process agrees on one run
+    # dir (process 0 creates it), every process calls the collective orbax
+    # save (primary writes, sidecar is lead-only), everyone can restore
+    from mpgan_tpu.train import checkpoint as ckpt
+    base = sys.argv[3]
+    run = ckpt.next_run_dir(base)
+    ckpt.save(run, 0, tr.rt.state, dict(it=2, stage=1, pass_no=1))
+    state, meta = ckpt.restore(run, 0, tr.rt.state)
+    assert meta["it"] == 2
+    leaf = np.asarray(
+        jax.tree_util.tree_leaves(state.params_g)[0]).ravel()[0]
+
+    print(f"MHRESULT {pid} {out['g_loss']:.6f} {jax.process_count()} "
+          f"{os.path.basename(run)} {leaf:.6f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -257,3 +257,34 @@ def test_loader_mac_recenter(tmp_path):
         np.testing.assert_allclose(np.asarray(cent.lr[i, ..., 1:4]), want,
                                    atol=1e-6)
     assert not np.allclose(cent.lr[..., 1:4], plain.lr[..., 1:4])
+
+    # velocity files whose header is Vec3-but-not-MAC (already cell-
+    # centered) must pass through macRecenter untouched
+    import glob
+    import os
+    for p in glob.glob(os.path.join(base, "sim_1000",
+                                    "velocity_low_*.uni")):
+        _, vel = uni.readUni(p)
+        uni.writeUni(p, uni.make_header(vel, grid_type=uni.TYPE_VEC3), vel)
+    cent2 = FluidDataLoader(base, 1000, 1000, frame_max=2,
+                            mac_recenter=True).get()
+    np.testing.assert_allclose(cent2.lr[..., 1:4], plain.lr[..., 1:4],
+                               atol=1e-6)
+
+
+def test_shard_dense_empty_shard_uniform_fallback():
+    """A shard with no above-threshold cells must fall back to a uniform
+    lattice over its local pooled cells, not one pinned corner cell."""
+    from mpgan_tpu.data.pipeline import _shard_dense
+    # all dense cells live in shard 0's volumes (vols 0..1 of 4, 2 shards)
+    dense = np.array([[0, 1, 2, 3], [1, 0, 1, 2], [0, 2, 2, 1],
+                      [1, 1, 1, 1]], np.int32)
+    out = _shard_dense(dense, n_shards=2, vols_per_shard=2,
+                       grid_shape=(3, 4, 4))
+    m = out.shape[0] // 2
+    blk1 = out[m:]
+    assert np.unique(blk1, axis=0).shape[0] > 1  # not a single repeated cell
+    assert blk1[:, 0].min() >= 0 and blk1[:, 0].max() <= 1  # local vol ids
+    assert blk1[:, 1].max() <= 2 and blk1[:, 2].max() <= 3
+    # spread across volumes, not clustered at the origin
+    assert len(np.unique(blk1[:, 0])) == 2

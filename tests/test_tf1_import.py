@@ -102,7 +102,7 @@ def test_import_runs_forward(tf1_ckpt, g1_template):
     path, values = tf1_ckpt
     gen, params = g1_template
     tf_vars = tf1_import.read_tf1_variables(path)
-    imported, mapping = tf1_import.import_params(tf_vars, params)
+    imported, mapping, _ = tf1_import.import_params(tf_vars, params)
     np.testing.assert_array_equal(
         np.asarray(imported["params"]["stem"]["kernel"]),
         values["gen/d_stem/kernel"])
@@ -117,7 +117,7 @@ def test_name_map_overrides_auto(tf1_ckpt, g1_template):
     # deliberately cross-wire the two heads
     nm = {"head_0/kernel": "gen/c_head1/kernel",
           "head_1/kernel": "gen/c_head0/kernel"}
-    imported, mapping = tf1_import.import_params(tf_vars, params, nm)
+    imported, mapping, _ = tf1_import.import_params(tf_vars, params, nm)
     np.testing.assert_array_equal(
         np.asarray(imported["params"]["head_0"]["kernel"]),
         values["gen/c_head1/kernel"])

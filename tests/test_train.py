@@ -191,6 +191,18 @@ def test_sharded_residency_and_sampling_locality():
     np.testing.assert_array_equal(np.asarray(b["lr"]), np.asarray(b2["lr"]))
 
 
+def test_indivisible_batch_falls_back_to_replicated():
+    """batchSize not divisible by the device count must fall back to
+    replicated residency and train (not abort in make_sampler)."""
+    cfg = _config(stages=1, batch=12)  # 12 % 8 != 0
+    tc = TileCreator(_dataset_8sims(zyx=(12, 16, 16)), tile_lr=8,
+                     density_threshold=0.0)
+    tr = Trainer(cfg, tc, mesh=pmesh.make_mesh())
+    assert not tr.data_sharded
+    out = tr.fit(iters=2, log_every=1)
+    assert np.isfinite(out["g_loss"])
+
+
 def test_sharded_vs_replicated_training():
     """Sharded-residency training must behave like replicated-residency
     training on the same data (same config/seed; batches differ only in
