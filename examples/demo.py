@@ -8,11 +8,11 @@
     python examples/demo.py 8x3      # 8x + the L1-trained yz refiner
                                      #     (third pass, +0.7 dB)
 
-Loads the committed checkpoints (round 2: 24k-iter L1 + hinge/R1 GAN
-fine-tune at 4x; from-scratch hinge/R1 progressive GAN at 8x, 10 solver
-sims each), super-resolves the bundled LR frame, reports PSNR vs the
-bundled ground truth and vs trilinear upsampling, and writes mid-slice
-PNGs.
+Loads the committed checkpoints (round 2: 24k-iter L1 at 4x; the `gan`
+G1 is the EMA generator of a hinge + lazy-R1 fine-tune, emaDecay 0.999;
+from-scratch hinge/R1 progressive GAN at 8x; 10 solver sims each),
+super-resolves the bundled LR frame, reports PSNR vs the bundled ground
+truth and vs trilinear upsampling, and writes mid-slice PNGs.
 """
 
 import os
