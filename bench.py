@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from mpgan_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # JAX_PLATFORMS must win over sitecustomize's pin
+
 
 def main():
     import jax
@@ -49,8 +53,9 @@ def main():
     # (±1e-30·acc on the input) forces sequential execution without changing
     # the numerics.
     # 50 chained frames ≈ steady-state streaming: the ~33 ms per-dispatch RPC
-    # of this tunnel amortizes to <1 ms/frame
-    n_iters = 50
+    # of this tunnel amortizes to <1 ms/frame. Env override is for debugging
+    # / CPU smoke-runs only; the driver's TPU runs use the default.
+    n_iters = int(os.environ.get("MPGAN_BENCH_ITERS", "50"))
 
     @jax.jit
     def chained(p1_, p2_, lr_):
@@ -107,5 +112,46 @@ def main():
     print(json.dumps(result))
 
 
+def _supervise() -> int:
+    """Run the measurement in a child process with bounded retries.
+
+    The axon TPU tunnel is occasionally unavailable for a few minutes
+    (observed 2026-08-17: backend init raising UNAVAILABLE, or hanging).
+    A transient outage should not turn into a failed benchmark artifact,
+    so the parent retries a fresh child (clean backend state) with a
+    per-attempt timeout, and forwards exactly the child's final JSON line.
+    """
+    import subprocess
+
+    env = dict(os.environ, MPGAN_BENCH_CHILD="1")
+    last_err = ""
+    for attempt in range(3):
+        if attempt:
+            time.sleep(90)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=1800)
+        except subprocess.TimeoutExpired:
+            last_err = "bench child timed out after 1800s (backend hang?)"
+            print(f"[bench] attempt {attempt + 1}: {last_err}",
+                  file=sys.stderr)
+            continue
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+        if proc.returncode == 0 and lines and lines[-1].startswith("{"):
+            print(lines[-1])
+            return 0
+        last_err = proc.stderr.strip().splitlines()[-1] if proc.stderr else \
+            f"exit code {proc.returncode}"
+        print(f"[bench] attempt {attempt + 1} failed: {last_err}",
+              file=sys.stderr)
+    print(f"[bench] all attempts failed; last error: {last_err}",
+          file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("MPGAN_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(_supervise())

@@ -21,7 +21,8 @@ from mpgan_tpu.ops.resample import downsample_3d
 from mpgan_tpu.solver import noise, smoke
 
 
-def plume_scene(key: jax.Array, res: int, with_obstacle: bool = False):
+def plume_scene(key: jax.Array, res: int, with_obstacle: bool = False,
+                pressure_solver: str = "jacobi"):
     """Build (state, inflow_mask, params) for a rising-plume scene."""
     solid = None
     if with_obstacle:
@@ -35,18 +36,20 @@ def plume_scene(key: jax.Array, res: int, with_obstacle: bool = False):
         inflow = inflow * (1.0 - solid)
     params = smoke.SmokeParams(
         dt=0.5, buoyancy=2e-2, vorticity_eps=0.1,
-        jacobi_iters=50, maccormack=True,
+        jacobi_iters=50, maccormack=True, pressure_solver=pressure_solver,
     )
     return state, inflow, params
 
 
 def generate_sim(sim_dir: str, seed: int, res_hi: int, up_res: int,
                  frames: int, warmup: int = 8, with_obstacle: bool = False,
-                 save_flags: bool = False) -> None:
+                 save_flags: bool = False,
+                 pressure_solver: str = "jacobi") -> None:
     """Run one simulation and write LR/HR .uni pairs per frame."""
     os.makedirs(sim_dir, exist_ok=True)
     key = jax.random.PRNGKey(seed)
-    state, inflow_mask, params = plume_scene(key, res_hi, with_obstacle)
+    state, inflow_mask, params = plume_scene(key, res_hi, with_obstacle,
+                                             pressure_solver=pressure_solver)
 
     # One jitted function per frame: inflow noise + solver step (+ LR
     # downsample). Running these eagerly costs an op-by-op round trip per
@@ -92,7 +95,8 @@ def generate_sim(sim_dir: str, seed: int, res_hi: int, up_res: int,
 
 def generate_sim_2d(sim_dir: str, seed: int, res_hi: int, up_res: int,
                     frames: int, warmup: int = 8,
-                    with_obstacle: bool = False) -> None:
+                    with_obstacle: bool = False,
+                    pressure_solver: str = "jacobi") -> None:
     """2D scene (reference ``dataDim 2``): writes (1, Y, X) .uni pairs."""
     from mpgan_tpu.ops.resample import downsample_2d
     from mpgan_tpu.solver import smoke2d
@@ -107,7 +111,8 @@ def generate_sim_2d(sim_dir: str, seed: int, res_hi: int, up_res: int,
     if solid is not None:
         inflow = inflow * (1.0 - solid)
     params = smoke.SmokeParams(dt=0.5, buoyancy=2e-2, vorticity_eps=0.1,
-                               jacobi_iters=50, maccormack=True)
+                               jacobi_iters=50, maccormack=True,
+                               pressure_solver=pressure_solver)
 
     @jax.jit
     def frame_step(state, t):

@@ -4,7 +4,8 @@ The reference generates training data with mantaflow scene scripts (C++ solver;
 SURVEY.md §2.12/§2.13 N1). Nothing ships with this environment, so this module
 provides an equivalent fluid stepper, fully jit-compiled: semi-Lagrangian /
 MacCormack advection, buoyancy, vorticity confinement, noise-modulated inflow,
-optional solid obstacles, and Jacobi pressure projection.
+optional solid obstacles, and Jacobi or conjugate-gradient pressure
+projection (``pressure_solver="cg"`` — mantaflow's solver choice).
 
 Discretization: cells store density (Z,Y,X,1) and velocity (Z,Y,X,3) where
 component c is the face value on the cell's +face (MAC-style). Divergence uses
@@ -44,6 +45,8 @@ class SmokeParams:
     jacobi_iters: int = 60
     maccormack: bool = True
     dissipation: float = 0.0       # density decay per step
+    pressure_solver: str = "jacobi"  # "jacobi" | "cg" (mantaflow uses CG)
+    cg_iters: int = 60
 
 
 # ------------------------------------------------------------------ stencils
@@ -108,6 +111,67 @@ def jacobi_pressure(div: jnp.ndarray, solid: jnp.ndarray, iters: int) -> jnp.nda
     return p[..., None]
 
 
+def _laplace_apply(p: jnp.ndarray, fluid: jnp.ndarray) -> jnp.ndarray:
+    """Matrix-free 7-point Neumann Laplacian: (A p)[c] = Σ_{fluid nbrs n} (p[c] − p[n]).
+
+    Solid-neighbor and wall slots contribute 0 (Neumann): walls via
+    :func:`_shift`'s edge replication (p − p = 0), solids via the fluid mask.
+    Restricted to fluid cells; A is symmetric positive semi-definite (graph
+    Laplacian of the fluid-cell adjacency), which is what CG needs.
+    """
+    out = jnp.zeros_like(p)
+    for axis in range(p.ndim):  # dimension-generic: (Z,Y,X) or (Y,X)
+        for off in (-1, +1):
+            pn = _shift(p, off, axis)
+            fn = _shift(fluid, off, axis)
+            out = out + jnp.where(fn > 0, p - pn, 0.0)
+    return out * fluid
+
+
+def cg_pressure(div: jnp.ndarray, solid: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """Solve the projection Poisson system with conjugate gradients.
+
+    Same system Jacobi iterates (A p = −div on fluid cells, Neumann walls
+    and solids — the discretization mantaflow's CG solver uses, SURVEY.md
+    §2.13 N1), but Krylov convergence: at equal iteration count (≈ equal
+    stencil cost) CG's divergence residual is ~200× below Jacobi's (measured
+    16³ fixture: 4e-5 vs 8e-3 at 60 iters). Fixed iteration count keeps the
+    loop shape-static under jit; divisions are guarded so iterating past
+    convergence is a no-op rather than a NaN.
+    """
+    fluid = 1.0 - solid[..., 0]
+    b = -div[..., 0] * fluid
+
+    def dot(a, c):
+        return jnp.sum(a * c)
+
+    rs0 = dot(b, b)
+    # Freeze once |r|²/|b|² < 1e-12: past f32 convergence the recurrence's
+    # round-off makes r drift away from the true residual and p diverges
+    # (measured: resid 8e-6 @100 iters → 3.0 @500 without the freeze).
+    tol2 = 1e-12 * rs0
+
+    def body(_, carry):
+        p, r, q, rs = carry
+        done = rs <= tol2
+        aq = _laplace_apply(q, fluid)
+        denom = dot(q, aq)
+        alpha = jnp.where(done | (denom <= 0), 0.0,
+                          rs / jnp.maximum(denom, 1e-30))
+        p = p + alpha * q
+        r = r - alpha * aq
+        rs_new = jnp.where(done, rs, dot(r, r))
+        beta = jnp.where(done | (rs <= 0), 0.0,
+                         rs_new / jnp.maximum(rs, 1e-30))
+        q = jnp.where(done, q, r + beta * q)
+        return p, r, q, rs_new
+
+    p0 = jnp.zeros_like(b)
+    init = (p0, b, b, rs0)
+    p, _, _, _ = jax.lax.fori_loop(0, iters, body, init)
+    return (p * fluid)[..., None]
+
+
 def enforce_boundaries(vel: jnp.ndarray, solid: jnp.ndarray) -> jnp.ndarray:
     """Zero +face velocities at far walls and on/into solid cells."""
     vx, vy, vz = vel[..., 0], vel[..., 1], vel[..., 2]
@@ -124,11 +188,15 @@ def enforce_boundaries(vel: jnp.ndarray, solid: jnp.ndarray) -> jnp.ndarray:
     return vel * (1.0 - mask)
 
 
-def project(vel: jnp.ndarray, solid: jnp.ndarray, iters: int) -> jnp.ndarray:
+def project(vel: jnp.ndarray, solid: jnp.ndarray, iters: int,
+            solver: str = "jacobi") -> jnp.ndarray:
     """Make ``vel`` discretely divergence-free (fluid cells)."""
     vel = enforce_boundaries(vel, solid)
     div = divergence(vel) * (1.0 - solid)
-    p = jacobi_pressure(div, solid, iters)
+    if solver == "cg":
+        p = cg_pressure(div, solid, iters)
+    else:
+        p = jacobi_pressure(div, solid, iters)
     vel = vel - pressure_gradient(p)
     return enforce_boundaries(vel, solid)
 
@@ -186,7 +254,10 @@ def step(state: SmokeState, params: SmokeParams,
 
     # 5. clear solids + project
     dens = dens * (1.0 - solid)
-    vel = project(vel, solid, params.jacobi_iters)
+    if params.pressure_solver == "cg":
+        vel = project(vel, solid, params.cg_iters, solver="cg")
+    else:
+        vel = project(vel, solid, params.jacobi_iters)
     return SmokeState(dens, vel, solid)
 
 

@@ -72,10 +72,14 @@ def enforce_boundaries(vel, solid):
     return jnp.stack([vx * (1 - sx), vy * (1 - sy)], axis=-1)
 
 
-def project(vel, solid, iters):
+def project(vel, solid, iters, solver: str = "jacobi"):
     vel = enforce_boundaries(vel, solid)
     div = divergence(vel) * (1.0 - solid)
-    p = jacobi_pressure(div, solid, iters)
+    if solver == "cg":
+        from mpgan_tpu.solver.smoke import cg_pressure  # dimension-generic
+        p = cg_pressure(div, solid, iters)
+    else:
+        p = jacobi_pressure(div, solid, iters)
     return enforce_boundaries(vel - pressure_gradient(p), solid)
 
 
@@ -109,7 +113,10 @@ def step(state: Smoke2DState, params: SmokeParams,
     if params.dissipation > 0:
         dens = dens * (1.0 - params.dissipation)
     dens = dens * (1.0 - solid)
-    vel = project(vel, solid, params.jacobi_iters)
+    if params.pressure_solver == "cg":
+        vel = project(vel, solid, params.cg_iters, solver="cg")
+    else:
+        vel = project(vel, solid, params.jacobi_iters)
     return Smoke2DState(dens, vel, solid)
 
 

@@ -31,7 +31,10 @@ def main(argv=None):
     seed = int(ph.getParam("randSeed", 0))
     warmup = int(ph.getParam("warmup", 8))
     data_dim = int(ph.getParam("dataDim", 3))     # 2 → (1, Y, X) scenes
+    psolver = ph.getParam("pressureSolver", "jacobi")  # jacobi | cg
     ph.checkUnusedParams()
+    if psolver not in ("jacobi", "cg"):
+        sys.exit(f"pressureSolver must be jacobi or cg, got {psolver!r}")
 
     from mpgan_tpu.solver import datagen
     import time
@@ -42,11 +45,12 @@ def main(argv=None):
         if data_dim == 2:
             datagen.generate_sim_2d(sim_dir, seed + sim, res_hi, up_res,
                                     frames, warmup=warmup,
-                                    with_obstacle=with_obs)
+                                    with_obstacle=with_obs,
+                                    pressure_solver=psolver)
         else:
             datagen.generate_sim(sim_dir, seed + sim, res_hi, up_res, frames,
                                  warmup=warmup, with_obstacle=with_obs,
-                                 save_flags=with_obs)
+                                 save_flags=with_obs, pressure_solver=psolver)
         print(f"sim_{sim:04d}: {frames} frames @{res_hi}^{data_dim} "
               f"(obstacle={with_obs}) in {time.time()-t0:.1f}s -> {sim_dir}")
 
