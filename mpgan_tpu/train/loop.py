@@ -18,6 +18,7 @@ the gradient psum over ICI (SURVEY.md §2.14).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -700,6 +701,17 @@ class Trainer:
             if on_checkpoint and cfg.train.save_interval and \
                     it % cfg.train.save_interval == 0 and it < iters:
                 on_checkpoint(self, it)
+                # Fault injection for elastic-recovery tests (SURVEY.md §5):
+                # MPGAN_FAIL_ONCE=<path> kills the run right after its first
+                # checkpoint; the sentinel file makes the restarted process
+                # run through. No effect unless the env var is set.
+                fail_once = os.environ.get("MPGAN_FAIL_ONCE")
+                if fail_once and not os.path.exists(fail_once):
+                    with open(fail_once, "w") as fh:
+                        fh.write(f"injected at it={it}\n")
+                    raise RuntimeError(
+                        f"MPGAN_FAIL_ONCE: injected fault after the "
+                        f"checkpoint at it={it}")
         if cfg.train.profile_dir:
             jax.profiler.stop_trace()
         if last:

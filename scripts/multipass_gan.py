@@ -35,6 +35,15 @@ from mpgan_tpu.utils import params as ph
 def main(argv=None):
     argv = list(sys.argv[1:]) if argv is None else argv
     ph.setParams(argv)
+    # Elastic recovery (SURVEY.md §5 failure detection/recovery): with
+    # retryOnError N, a parent process supervises the actual training run
+    # and restarts it with resumeLatest 1 when it dies — covering Python
+    # exceptions, the axon tunnel dropping mid-dispatch (observed to kill
+    # the process silently), and external kills alike.
+    retry_budget = int(ph.getParam("retryOnError", 0))
+    if (retry_budget > 0 and int(ph.getParam("out", 0)) == 0
+            and not os.environ.get("MPGAN_TRAIN_CHILD")):
+        sys.exit(_supervise_training(argv, retry_budget))
     # extra flags, read before from_cli's checkUnusedParams
     # multi-host (SURVEY.md §2.15): join a jax.distributed job before any
     # backend use so the mesh below spans all hosts' devices
@@ -71,6 +80,7 @@ def main(argv=None):
     if cfg.infer.output_only:
         run_inference(cfg, load_test2, load_no2, load_test3, load_no3)
     else:
+        resume_total = False
         if resume_latest and resume_test < 0:
             from mpgan_tpu.train import checkpoint as ckpt
             pno = train_pass if train_pass else (
@@ -78,20 +88,64 @@ def main(argv=None):
             found = ckpt.latest_resumable(cfg.train.test_path, pass_no=pno)
             if found is not None:
                 resume_test, resume_no = found
+                resume_total = True  # recovery completes the original budget
                 print(f"resumeLatest: test_{resume_test:04d}/"
                       f"model_{resume_no:04d}")
             else:
                 print("resumeLatest: no prior checkpoint — fresh start")
         run_training(cfg, argv, pass2_source, resume_test, resume_no,
                      warm_test, warm_no, train_pass, pass3_source,
-                     load_test2, load_no2)
+                     load_test2, load_no2, resume_total=resume_total)
+
+
+def _strip_flag(argv, name):
+    """Remove ``name <value>`` pairs from a reference-style flag list."""
+    out, skip = [], False
+    for tok in argv:
+        if skip:
+            skip = False
+            continue
+        if tok == name:
+            skip = True
+            continue
+        out.append(tok)
+    return out
+
+
+def _supervise_training(argv, retries: int) -> int:
+    """Restart a dead training child with ``resumeLatest 1`` up to
+    ``retries`` times; return the final exit code (0 on clean finish)."""
+    import subprocess
+    import time
+
+    env = dict(os.environ, MPGAN_TRAIN_CHILD="1")
+    script = os.path.abspath(__file__)
+    delay = float(os.environ.get("MPGAN_RETRY_DELAY_S", "30"))
+    failures = 0
+    while True:
+        args = list(argv)
+        if failures:
+            args = _strip_flag(args, "resumeLatest") + ["resumeLatest", "1"]
+        rc = subprocess.call([sys.executable, script] + args, env=env)
+        if rc == 0:
+            return 0
+        failures += 1
+        if failures > retries:
+            print(f"retryOnError: giving up after {failures} failures "
+                  f"(last rc={rc})", flush=True)
+            return rc
+        print(f"retryOnError: training child died (rc={rc}); restarting "
+              f"with resumeLatest 1 in {delay:g}s "
+              f"[{failures}/{retries}]", flush=True)
+        time.sleep(delay)
 
 
 def run_training(cfg, argv, pass2_source: str = "gt",
                  resume_test: int = -1, resume_no: int = -1,
                  warm_test: int = -1, warm_no: int = -1,
                  train_pass: int = 0, pass3_source: str = "gt",
-                 load_test2: int = -1, load_no2: int = -1):
+                 load_test2: int = -1, load_no2: int = -1,
+                 resume_total: bool = False):
     import jax
     import jax.numpy as jnp
     from mpgan_tpu.data.loader import FluidDataLoader
@@ -220,7 +274,12 @@ def run_training(cfg, argv, pass2_source: str = "gt",
         prev_run = ckpt.run_dir(cfg.train.test_path, resume_test)
         no = resume_no if resume_no >= 0 else ckpt.latest_model_no(prev_run)
         start_it = tr.restore(prev_run, no)
-        total_iters = start_it + cfg.train.training_iters  # additional iters
+        if resume_total:
+            # crash recovery (resumeLatest): finish the ORIGINAL budget —
+            # restarting must be idempotent, not extend the run
+            total_iters = max(cfg.train.training_iters, start_it)
+        else:
+            total_iters = start_it + cfg.train.training_iters  # additional
         print(f"resumed from {prev_run}/model_{no:04d} at iter {start_it}; "
               f"training to {total_iters}")
     # on_checkpoint runs on every process (orbax saves are collective);

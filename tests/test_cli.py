@@ -116,3 +116,32 @@ def test_2d_pipeline_cli(tmp_path):
     _, vol = uni.readUni(os.path.join(out_dir, unis[0]))
     assert vol.shape == (1, 32, 32, 1)  # Z stays 1; 8x8 → 32x32 in-plane
     assert np.isfinite(vol).all()
+
+
+def test_retry_on_error_elastic_recovery(workdir, tmp_path):
+    """retryOnError N (SURVEY.md §5 failure recovery): the supervising parent
+    restarts a dead training child with resumeLatest 1. MPGAN_FAIL_ONCE
+    injects a crash right after the first checkpoint, so the run dies at
+    it=2 and must resume from test_0000/model_0001 to finish all 4 iters."""
+    d = str(workdir)
+    sentinel = str(tmp_path / "fail_once")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MPGAN_FAIL_ONCE=sentinel,
+               MPGAN_RETRY_DELAY_S="0")
+    args = (f"out 0 basePath {d}/data/ fromSim 1000 toSim 1000 frameMax 5 "
+            "upRes 4 tileSizeLow 6 useVelocities 1 trainingIters 4 "
+            "batchSize 2 saveInterval 2 outputInterval 2 useTempoD 0 "
+            "firstNN 1 genFilters 8 discFilters 8 genBlocks 1 dtype float32 "
+            f"testPath {tmp_path}/runs/ randSeed 5 retryOnError 1")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multipass_gan.py")]
+        + args.split(),
+        capture_output=True, text=True, cwd=d, env=env, timeout=900)
+    assert r.returncode == 0, f"{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    assert os.path.exists(sentinel)  # the fault really fired
+    assert "injected fault" in r.stderr
+    assert "retryOnError: training child died" in r.stdout
+    assert "resumeLatest: test_0000/model_0001" in r.stdout
+    assert "done:" in r.stdout  # restarted child ran to completion
+    # recovery finishes the ORIGINAL trainingIters budget (4 → last it=3),
+    # unlike explicit resumeTest/No which trains trainingIters more
+    assert "'it': 3" in r.stdout.split("done:")[-1]
