@@ -124,6 +124,10 @@ class InferConfig:
     # pipeline-parallel frame streaming (SURVEY.md §2.14 PP row):
     # "" = off, "auto" = proportional chips-per-pass, "2,6" = explicit split
     pipeline_split: str = ""
+    # idempotent sweeps (SURVEY.md §5 failure recovery): write into an
+    # existing test_%04d run dir, skipping frames whose output exists
+    # (-1 = allocate a fresh dir as usual)
+    write_test: int = -1
 
 
 @dataclass
@@ -233,6 +237,7 @@ def from_cli(argv: list[str] | None = None) -> Config:
         write_png=bool(g("writePng", 0)),
         use_ema=bool(g("useEma", 0)),
         pipeline_split=str(g("pipelineSplit", "")),
+        write_test=g("writeTest", InferConfig.write_test),
     )
     ph.checkUnusedParams()
     return Config(data=data, model=model, loss=loss, train=train, infer=infer)

@@ -115,11 +115,15 @@ def write(path: str, arr: np.ndarray, grid_type: int, element_type: int,
     arr = np.ascontiguousarray(
         arr, dtype=np.int32 if element_type == 0 else np.float32)
     dims = (ctypes.c_int32 * 4)(*arr.shape)
-    rc = lib.uni_write(path.encode(), dims, grid_type, element_type,
+    # atomic (tmp + rename), matching uni.writeUni: an existing file must
+    # always be a complete one for skip-existing restart logic
+    tmp = path + ".tmp"
+    rc = lib.uni_write(tmp.encode(), dims, grid_type, element_type,
                        arr.ctypes.data_as(ctypes.c_void_p), arr.nbytes,
                        info, timestamp, level)
     if rc != 0:
         raise IOError(f"uni_write({path}) failed: {rc}")
+    os.replace(tmp, path)
 
 
 def read_many(paths: list[str], workers: int = 8) -> list[np.ndarray]:

@@ -25,6 +25,7 @@ Arrays are returned/accepted with shape ``(dimZ, dimY, dimX, channels)``
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 import time
 from typing import Any
@@ -186,10 +187,15 @@ def writeUni(path: str, head: dict[str, Any], arr: np.ndarray) -> None:
     flat = arr.reshape(-1)
     if flat.size != n * c:
         raise ValueError(f"array size {flat.size} != header dims {n}*{c}")
-    with gzip.open(path, "wb", compresslevel=1) as f:
+    # Atomic write (tmp + rename): a crash mid-write must never leave a
+    # truncated .uni behind — restart logic (writeTest resume, datagen
+    # skip-existing) treats an existing file as complete.
+    tmp = path + ".tmp"
+    with gzip.open(tmp, "wb", compresslevel=1) as f:
         f.write(b"MNT3")
         f.write(packed)
         f.write(memoryview(flat))
+    os.replace(tmp, path)
 
 
 def write_density(path: str, dens: np.ndarray) -> None:

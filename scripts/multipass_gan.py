@@ -41,9 +41,9 @@ def main(argv=None):
     # exceptions, the axon tunnel dropping mid-dispatch (observed to kill
     # the process silently), and external kills alike.
     retry_budget = int(ph.getParam("retryOnError", 0))
-    if (retry_budget > 0 and int(ph.getParam("out", 0)) == 0
-            and not os.environ.get("MPGAN_TRAIN_CHILD")):
-        sys.exit(_supervise_training(argv, retry_budget))
+    if retry_budget > 0 and not os.environ.get("MPGAN_TRAIN_CHILD"):
+        sys.exit(_supervise(argv, retry_budget,
+                            infer=int(ph.getParam("out", 0)) == 1))
     # extra flags, read before from_cli's checkUnusedParams
     # multi-host (SURVEY.md §2.15): join a jax.distributed job before any
     # backend use so the mesh below spans all hosts' devices
@@ -112,19 +112,41 @@ def _strip_flag(argv, name):
     return out
 
 
-def _supervise_training(argv, retries: int) -> int:
-    """Restart a dead training child with ``resumeLatest 1`` up to
-    ``retries`` times; return the final exit code (0 on clean finish)."""
+def _alloc_run_dir_index(test_path: str) -> int:
+    """Next free ``test_%04d`` index under ``test_path`` (pure-os mirror of
+    checkpoint._next_run_dir_local — the supervising parent must not import
+    jax/orbax)."""
+    import re
+    os.makedirs(test_path, exist_ok=True)
+    existing = [int(m.group(1)) for d in os.listdir(test_path)
+                if (m := re.fullmatch(r"test_(\d{4})", d))]
+    idx = max(existing, default=-1) + 1
+    os.makedirs(os.path.join(test_path, f"test_{idx:04d}"))
+    return idx
+
+
+def _supervise(argv, retries: int, infer: bool = False) -> int:
+    """Restart a dead child up to ``retries`` times; return the final exit
+    code (0 on clean finish). Training children restart with
+    ``resumeLatest 1``; inference children get a pre-allocated ``writeTest``
+    run dir so restarts skip already-written frames."""
     import subprocess
     import time
 
     env = dict(os.environ, MPGAN_TRAIN_CHILD="1")
     script = os.path.abspath(__file__)
     delay = float(os.environ.get("MPGAN_RETRY_DELAY_S", "30"))
+    base_argv = list(argv)
+    if infer and "writeTest" not in base_argv:
+        test_path = ph.getParam("testPath", "test_out/")
+        idx = _alloc_run_dir_index(test_path)
+        base_argv += ["writeTest", str(idx)]
+        print(f"retryOnError: inference outputs pinned to test_{idx:04d} "
+              f"(writeTest {idx})", flush=True)
     failures = 0
     while True:
-        args = list(argv)
-        if failures:
+        args = list(base_argv)
+        if failures and not infer:
             args = _strip_flag(args, "resumeLatest") + ["resumeLatest", "1"]
         rc = subprocess.call([sys.executable, script] + args, env=env)
         if rc == 0:
@@ -134,9 +156,10 @@ def _supervise_training(argv, retries: int) -> int:
             print(f"retryOnError: giving up after {failures} failures "
                   f"(last rc={rc})", flush=True)
             return rc
-        print(f"retryOnError: training child died (rc={rc}); restarting "
-              f"with resumeLatest 1 in {delay:g}s "
-              f"[{failures}/{retries}]", flush=True)
+        kind = "inference" if infer else "training"
+        how = ("skipping done frames" if infer else "with resumeLatest 1")
+        print(f"retryOnError: {kind} child died (rc={rc}); restarting "
+              f"{how} in {delay:g}s [{failures}/{retries}]", flush=True)
         time.sleep(delay)
 
 
@@ -376,7 +399,13 @@ def run_inference(cfg, load_test2: int, load_no2: int,
     if load_test3 >= 0:
         gen3, params3 = _load_gen(cfg, 3, load_test3, load_no3)
 
-    out_dir = ckpt.next_run_dir(cfg.train.test_path)
+    if cfg.infer.write_test >= 0:
+        # idempotent sweep (SURVEY.md §5 failure recovery): reuse an
+        # existing run dir and skip frames whose output is already there
+        out_dir = ckpt.run_dir(cfg.train.test_path, cfg.infer.write_test)
+        os.makedirs(out_dir, exist_ok=True)
+    else:
+        out_dir = ckpt.next_run_dir(cfg.train.test_path)
     pp = upscale = None
     if (cfg.infer.pipeline_split and gen2 is not None
             and len(jax.devices()) > 1):
@@ -414,11 +443,26 @@ def run_inference(cfg, load_test2: int, load_no2: int,
             from PIL import Image
             mid = hr[hr.shape[0] // 2, :, :, 0]
             img = np.clip(mid[::-1] * 255 / max(mid.max(), 1e-6), 0, 255)
-            Image.fromarray(img.astype(np.uint8)).save(out[:-4] + ".png")
+            png = out[:-4] + ".png"
+            # atomic for the same reason as writeUni: frame_done keys on
+            # this file when writeUni 0
+            Image.fromarray(img.astype(np.uint8)).save(png + ".tmp", "PNG")
+            os.replace(png + ".tmp", png)
+
+    def frame_done(sim, f):
+        base = os.path.join(out_dir, f"source_{sim:04d}_{f:04d}")
+        want = base + (".uni" if cfg.infer.write_uni else ".png")
+        return os.path.exists(want)
 
     frames = [(sim, f)
               for sim in range(cfg.data.from_sim, cfg.data.to_sim + 1)
               for f in range(cfg.infer.frame_min, cfg.infer.frame_max)]
+    if cfg.infer.write_test >= 0:
+        todo = [sf for sf in frames if not frame_done(*sf)]
+        if len(todo) < len(frames):
+            print(f"writeTest {cfg.infer.write_test}: skipping "
+                  f"{len(frames) - len(todo)} already-written frames")
+        frames = todo
     with ThreadPoolExecutor(1) as reader, ThreadPoolExecutor(1) as writer:
         pending = []
 
@@ -433,6 +477,16 @@ def run_inference(cfg, load_test2: int, load_no2: int,
             pending.append(writer.submit(write_frame, out, hr))
             print(f"sim {sim} frame {f}: {lr_shape} -> {hr.shape[:3]} "
                   f"-> {out}")
+            # Fault injection for elastic-recovery tests (mirrors the train
+            # loop's hook): crash after the first frame is durably written.
+            fail_once = os.environ.get("MPGAN_FAIL_ONCE")
+            if fail_once and not os.path.exists(fail_once):
+                pending[-1].result()
+                with open(fail_once, "w") as fh:
+                    fh.write(f"injected at sim {sim} frame {f}\n")
+                raise RuntimeError(
+                    f"MPGAN_FAIL_ONCE: injected fault after writing "
+                    f"sim {sim} frame {f}")
 
         inflight = []  # pipeline mode: (sim, f, async volume, lr shape)
         nxt = reader.submit(read_frame, *frames[0]) if frames else None

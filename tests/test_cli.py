@@ -145,3 +145,40 @@ def test_retry_on_error_elastic_recovery(workdir, tmp_path):
     # recovery finishes the ORIGINAL trainingIters budget (4 → last it=3),
     # unlike explicit resumeTest/No which trains trainingIters more
     assert "'it': 3" in r.stdout.split("done:")[-1]
+
+
+def test_retry_on_error_inference_recovery(workdir, tmp_path):
+    """retryOnError with out 1: the parent pins outputs to a writeTest run
+    dir; a child killed after its first frame restarts and skips the
+    already-written frame instead of recomputing the sweep."""
+    d = str(workdir)
+    _run("multipass_gan.py",
+         f"out 0 basePath {d}/data/ fromSim 1000 toSim 1000 frameMax 5 "
+         "upRes 4 tileSizeLow 6 useVelocities 1 trainingIters 2 "
+         "batchSize 2 saveInterval 2 outputInterval 2 useTempoD 0 firstNN 1 "
+         "genFilters 8 discFilters 8 genBlocks 1 dtype float32 "
+         f"testPath {tmp_path}/runs/ randSeed 7", d)
+    sentinel = str(tmp_path / "fail_once")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MPGAN_FAIL_ONCE=sentinel,
+               MPGAN_RETRY_DELAY_S="0")
+    args = (f"out 1 basePath {d}/data/ fromSim 1000 toSim 1000 upRes 4 "
+            "tileSizeLow 6 useVelocities 1 load_model_test 0 load_model_no 0 "
+            "outFrameMin 0 outFrameMax 5 genFilters 8 genBlocks 1 "
+            f"dtype float32 testPath {tmp_path}/runs/ retryOnError 1")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multipass_gan.py")]
+        + args.split(),
+        capture_output=True, text=True, cwd=d, env=env, timeout=900)
+    assert r.returncode == 0, f"{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    assert os.path.exists(sentinel)  # the fault really fired
+    assert "inference outputs pinned to test_0001" in r.stdout
+    assert "retryOnError: inference child died" in r.stdout
+    assert "skipping 1 already-written frames" in r.stdout
+    out_dir = os.path.join(str(tmp_path), "runs", "test_0001")
+    unis = sorted(f for f in os.listdir(out_dir) if f.endswith(".uni"))
+    assert len(unis) == 5  # frame 0 from the dead child + 4 from recovery
+    assert not any(f.endswith(".tmp") for f in os.listdir(out_dir))
+    from mpgan_tpu.io import uni
+    _, vol = uni.readUni(os.path.join(out_dir, unis[0]))
+    assert vol.shape == (32, 32, 32, 1)
+    assert np.isfinite(vol).all()
