@@ -204,9 +204,13 @@ def from_cli(argv: list[str] | None = None) -> Config:
         gp_weight=g("gpWeight", LossConfig.gp_weight),
     )
     train = TrainConfig(
-        training_iters=g("trainingIters", TrainConfig.training_iters),
+        # trainingEpochs / learningRate are the upstream-tempoGAN spellings
+        # (SURVEY.md §2.1 "trainingIters/Epochs", "learningRate/lrgan")
+        training_iters=g("trainingIters",
+                         g("trainingEpochs", TrainConfig.training_iters)),
         batch_size=g("batchSize", TrainConfig.batch_size),
-        learning_rate=g("lrgan", TrainConfig.learning_rate),
+        learning_rate=g("lrgan", g("learningRate",
+                                   TrainConfig.learning_rate)),
         lr_disc=g("lrdisc", TrainConfig.lr_disc),
         beta1=g("beta1", TrainConfig.beta1),
         adam_eps=g("adamEps", TrainConfig.adam_eps),

@@ -43,6 +43,19 @@ def test_from_cli_reference_style_invocation():
     assert c.loss.lambda_l1 == 5.0 and c.loss.lambda_t == 1.0
 
 
+def test_from_cli_upstream_flag_aliases():
+    """SURVEY.md §2.1: upstream tempoGAN spells these trainingEpochs /
+    learningRate; the reference-repo spellings (trainingIters / lrgan) win
+    when both are given."""
+    c = cfg.from_cli("out 0 trainingEpochs 123 learningRate 0.0005".split())
+    assert c.train.training_iters == 123
+    assert abs(c.train.learning_rate - 5e-4) < 1e-12
+    c = cfg.from_cli("out 0 trainingIters 7 trainingEpochs 9 "
+                     "lrgan 0.001 learningRate 0.002".split())
+    assert c.train.training_iters == 7
+    assert abs(c.train.learning_rate - 1e-3) < 1e-12
+
+
 def test_from_cli_defaults():
     c = cfg.from_cli([])
     assert c.data.up_res == 4
