@@ -39,6 +39,20 @@ from mpgan_tpu.parallel import mesh as pmesh
 from mpgan_tpu.train import losses
 
 
+def _touch_heartbeat() -> None:
+    """Liveness signal for the retryOnError supervisor's hang detection:
+    touch $MPGAN_HEARTBEAT after each dispatch chunk. A hung tunnel blocks
+    the dispatch/fetch, the file goes stale, and the supervisor kills +
+    restarts the process (scripts/multipass_gan.py _run_child_watched)."""
+    hb = os.environ.get("MPGAN_HEARTBEAT")
+    if hb:
+        try:
+            os.utime(hb)
+        except OSError:
+            with open(hb, "w"):
+                pass
+
+
 class TrainState(NamedTuple):
     params_g: Any
     opt_g: Any
@@ -690,6 +704,7 @@ class Trainer:
                                    self.rt.dt, self.rt.step_fade,
                                    self.rt.step_stable, state, ema)
             it += chunk
+            _touch_heartbeat()
 
             if (it - chunk) // log_every != it // log_every or it >= iters:
                 last = {k: float(v) for k, v in metrics.items()}
@@ -701,6 +716,7 @@ class Trainer:
             if on_checkpoint and cfg.train.save_interval and \
                     it % cfg.train.save_interval == 0 and it < iters:
                 on_checkpoint(self, it)
+                _touch_heartbeat()  # checkpoint saves are legitimately slow
                 # Fault injection for elastic-recovery tests (SURVEY.md §5):
                 # MPGAN_FAIL_ONCE=<path> kills the run right after its first
                 # checkpoint; the sentinel file makes the restarted process
@@ -712,10 +728,20 @@ class Trainer:
                     raise RuntimeError(
                         f"MPGAN_FAIL_ONCE: injected fault after the "
                         f"checkpoint at it={it}")
+                # MPGAN_HANG_ONCE: same sentinel protocol, but hang instead
+                # of crash — exercises the supervisor's hangTimeout watchdog
+                # (the tunnel's observed failure mode is a hang, not a raise)
+                hang_once = os.environ.get("MPGAN_HANG_ONCE")
+                if hang_once and not os.path.exists(hang_once):
+                    with open(hang_once, "w") as fh:
+                        fh.write(f"hang injected at it={it}\n")
+                    print(f"MPGAN_HANG_ONCE: hanging at it={it}", flush=True)
+                    time.sleep(10 ** 9)
         if cfg.train.profile_dir:
             jax.profiler.stop_trace()
         if last:
             elapsed = max(last["wall"], 1e-9)
             last["steps_per_sec"] = round((it - start_it) / elapsed, 3)
             last["steps_per_dispatch"] = k_disp
+        _touch_heartbeat()  # reset the watchdog clock for final-save/teardown
         return last

@@ -41,8 +41,11 @@ def main(argv=None):
     # exceptions, the axon tunnel dropping mid-dispatch (observed to kill
     # the process silently), and external kills alike.
     retry_budget = int(ph.getParam("retryOnError", 0))
+    # hang detection (0 = off): read here so the child's checkUnusedParams
+    # sees the flag as consumed too
+    hang_timeout = float(ph.getParam("hangTimeout", 0))
     if retry_budget > 0 and not os.environ.get("MPGAN_TRAIN_CHILD"):
-        sys.exit(_supervise(argv, retry_budget,
+        sys.exit(_supervise(argv, retry_budget, hang_timeout,
                             infer=int(ph.getParam("out", 0)) == 1))
     # extra flags, read before from_cli's checkUnusedParams
     # multi-host (SURVEY.md §2.15): join a jax.distributed job before any
@@ -125,11 +128,64 @@ def _alloc_run_dir_index(test_path: str) -> int:
     return idx
 
 
-def _supervise(argv, retries: int, infer: bool = False) -> int:
-    """Restart a dead child up to ``retries`` times; return the final exit
-    code (0 on clean finish). Training children restart with
+def _run_child_watched(cmd, env, hang_timeout: float, heartbeat: str) -> int:
+    """Run the child, killing it if its heartbeat file goes stale.
+
+    The axon tunnel's observed failure mode is a HANG (backend init or a
+    dispatch blocking forever), not a crash — so liveness is tracked through
+    a heartbeat file the child touches on every dispatch chunk / written
+    frame, and a child silent for ``hang_timeout`` seconds is killed (the
+    supervisor then restarts it like any other death)."""
+    import subprocess
+    import time
+
+    # The parent stamps launch time so a child that hangs before its first
+    # heartbeat (e.g. inside backend init) is still detected — but startup
+    # (imports, data load, cold remote compile: 2-10 min on this tunnel) is
+    # legitimately silent, so until the child's FIRST touch the deadline is
+    # the larger startup grace, not hang_timeout.
+    with open(heartbeat, "w"):
+        pass
+    launch_mtime = os.path.getmtime(heartbeat)
+    grace = max(hang_timeout,
+                float(os.environ.get("MPGAN_STARTUP_GRACE_S", "900")))
+    proc = subprocess.Popen(cmd, env=env)
+    poll_s = max(1.0, min(10.0, hang_timeout / 3))
+    while True:
+        try:
+            return proc.wait(timeout=poll_s)
+        except subprocess.TimeoutExpired:
+            pass
+        try:
+            mtime = os.path.getmtime(heartbeat)
+            stale = time.time() - mtime
+        except OSError:
+            continue
+        limit = hang_timeout if mtime != launch_mtime else grace
+        if stale > limit:
+            # The child may be in post-train teardown (final save done,
+            # interpreter exiting) which doesn't heartbeat; give it a drain
+            # window to exit on its own before concluding it's hung.
+            drain = max(10.0, min(60.0, hang_timeout))
+            try:
+                return proc.wait(timeout=drain)
+            except subprocess.TimeoutExpired:
+                pass
+            print(f"retryOnError: child silent for {stale + drain:.0f}s "
+                  f"(limit {limit:g}s); killing it", flush=True)
+            proc.kill()
+            proc.wait()
+            return -9
+
+
+def _supervise(argv, retries: int, hang_timeout: float = 0.0,
+               infer: bool = False) -> int:
+    """Restart a dead or hung child up to ``retries`` times; return the
+    final exit code (0 on clean finish). Training children restart with
     ``resumeLatest 1``; inference children get a pre-allocated ``writeTest``
-    run dir so restarts skip already-written frames."""
+    run dir so restarts skip already-written frames. ``hang_timeout`` > 0
+    additionally kills a child whose heartbeat goes stale that long — set
+    it well above a cold remote compile (2-10 min on this tunnel)."""
     import subprocess
     import time
 
@@ -137,19 +193,30 @@ def _supervise(argv, retries: int, infer: bool = False) -> int:
     script = os.path.abspath(__file__)
     delay = float(os.environ.get("MPGAN_RETRY_DELAY_S", "30"))
     base_argv = list(argv)
+    test_path = ph.getParam("testPath", "test_out/")
     if infer and "writeTest" not in base_argv:
-        test_path = ph.getParam("testPath", "test_out/")
         idx = _alloc_run_dir_index(test_path)
         base_argv += ["writeTest", str(idx)]
         print(f"retryOnError: inference outputs pinned to test_{idx:04d} "
               f"(writeTest {idx})", flush=True)
+    heartbeat = None
+    if hang_timeout > 0:
+        os.makedirs(test_path, exist_ok=True)
+        heartbeat = os.path.join(test_path, f".heartbeat_{os.getpid()}")
+        env["MPGAN_HEARTBEAT"] = heartbeat
     failures = 0
     while True:
         args = list(base_argv)
         if failures and not infer:
             args = _strip_flag(args, "resumeLatest") + ["resumeLatest", "1"]
-        rc = subprocess.call([sys.executable, script] + args, env=env)
+        cmd = [sys.executable, script] + args
+        if heartbeat:
+            rc = _run_child_watched(cmd, env, hang_timeout, heartbeat)
+        else:
+            rc = subprocess.call(cmd, env=env)
         if rc == 0:
+            if heartbeat and os.path.exists(heartbeat):
+                os.remove(heartbeat)
             return 0
         failures += 1
         if failures > retries:
@@ -475,6 +542,12 @@ def run_inference(cfg, load_test2: int, load_no2: int,
             while len(pending) >= 3:
                 pending.pop(0).result()
             pending.append(writer.submit(write_frame, out, hr))
+            hb = os.environ.get("MPGAN_HEARTBEAT")
+            if hb:
+                try:
+                    os.utime(hb)
+                except OSError:
+                    open(hb, "w").close()
             print(f"sim {sim} frame {f}: {lr_shape} -> {hr.shape[:3]} "
                   f"-> {out}")
             # Fault injection for elastic-recovery tests (mirrors the train

@@ -147,6 +147,37 @@ def test_retry_on_error_elastic_recovery(workdir, tmp_path):
     assert "'it': 3" in r.stdout.split("done:")[-1]
 
 
+def test_retry_on_error_hang_recovery(workdir, tmp_path):
+    """hangTimeout S: the supervisor kills a child whose heartbeat file goes
+    stale (the axon tunnel's observed failure mode is a hang, not a crash)
+    and restarts it with resumeLatest 1. MPGAN_HANG_ONCE makes the child
+    sleep forever right after its first checkpoint (it=2)."""
+    d = str(workdir)
+    sentinel = str(tmp_path / "hang_once")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MPGAN_HANG_ONCE=sentinel,
+               MPGAN_RETRY_DELAY_S="0", MPGAN_STARTUP_GRACE_S="300")
+    args = (f"out 0 basePath {d}/data/ fromSim 1000 toSim 1000 frameMax 5 "
+            "upRes 4 tileSizeLow 6 useVelocities 1 trainingIters 4 "
+            "batchSize 2 saveInterval 2 outputInterval 2 useTempoD 0 "
+            "firstNN 1 genFilters 8 discFilters 8 genBlocks 1 dtype float32 "
+            f"testPath {tmp_path}/runs/ randSeed 5 retryOnError 1 "
+            "hangTimeout 5")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multipass_gan.py")]
+        + args.split(),
+        capture_output=True, text=True, cwd=d, env=env, timeout=900)
+    assert r.returncode == 0, f"{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    assert os.path.exists(sentinel)  # the hang really fired
+    assert "MPGAN_HANG_ONCE: hanging" in r.stdout
+    assert "; killing it" in r.stdout  # watchdog saw the stale heartbeat
+    assert "retryOnError: training child died (rc=-9)" in r.stdout
+    assert "resumeLatest: test_0000/model_0001" in r.stdout
+    assert "'it': 3" in r.stdout.split("done:")[-1]
+    # the heartbeat file is cleaned up on a clean finish
+    assert not any(f.startswith(".heartbeat")
+                   for f in os.listdir(str(tmp_path / "runs")))
+
+
 def test_retry_on_error_inference_recovery(workdir, tmp_path):
     """retryOnError with out 1: the parent pins outputs to a writeTest run
     dir; a child killed after its first frame restarts and skips the
