@@ -141,7 +141,8 @@ def _supervise() -> int:
         if proc.returncode == 0 and lines and lines[-1].startswith("{"):
             print(lines[-1])
             return 0
-        last_err = proc.stderr.strip().splitlines()[-1] if proc.stderr else \
+        err_lines = (proc.stderr or "").strip().splitlines()
+        last_err = err_lines[-1] if err_lines else \
             f"exit code {proc.returncode}"
         print(f"[bench] attempt {attempt + 1} failed: {last_err}",
               file=sys.stderr)

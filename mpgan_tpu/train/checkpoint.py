@@ -107,8 +107,8 @@ def latest_model_no(run: str) -> int | None:
     return max(nos, default=None)
 
 
-def latest_resumable(base: str, pass_no: int | None = None
-                     ) -> tuple[int, int] | None:
+def latest_resumable(base: str, pass_no: int | None = None,
+                     min_index: int = -1) -> tuple[int, int] | None:
     """Newest (run index, model no) under ``base`` with a full checkpoint —
     the auto-resume target (``resumeLatest 1``; SURVEY.md §5 'Failure
     detection / elastic recovery': restart without hand-picking numbers).
@@ -118,11 +118,14 @@ def latest_resumable(base: str, pass_no: int | None = None
     are skipped, scanning older model numbers within each run before moving
     to older runs. Resuming pass-1 training from a pass-2 state would crash
     at restore with a param-shape mismatch, so the crash-recovery path must
-    never guess."""
+    never guess. ``min_index`` restricts the scan to run indices >= it (the
+    retryOnError supervisor scopes recovery to run dirs its own launch
+    created, so an unrelated older run can never hijack a restart)."""
     if not os.path.isdir(base):
         return None
-    runs = sorted((int(m.group(1)) for d in os.listdir(base)
-                   if (m := re.fullmatch(r"test_(\d{4})", d))), reverse=True)
+    runs = sorted((idx for d in os.listdir(base)
+                   if (m := re.fullmatch(r"test_(\d{4})", d))
+                   and (idx := int(m.group(1))) >= min_index), reverse=True)
     for idx in runs:
         run = run_dir(base, idx)
         if not os.path.isdir(run):

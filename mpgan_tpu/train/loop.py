@@ -37,20 +37,7 @@ from mpgan_tpu.models import generator as G
 from mpgan_tpu.models import growing
 from mpgan_tpu.parallel import mesh as pmesh
 from mpgan_tpu.train import losses
-
-
-def _touch_heartbeat() -> None:
-    """Liveness signal for the retryOnError supervisor's hang detection:
-    touch $MPGAN_HEARTBEAT after each dispatch chunk. A hung tunnel blocks
-    the dispatch/fetch, the file goes stale, and the supervisor kills +
-    restarts the process (scripts/multipass_gan.py _run_child_watched)."""
-    hb = os.environ.get("MPGAN_HEARTBEAT")
-    if hb:
-        try:
-            os.utime(hb)
-        except OSError:
-            with open(hb, "w"):
-                pass
+from mpgan_tpu.utils.liveness import touch_heartbeat as _touch_heartbeat
 
 
 class TrainState(NamedTuple):

@@ -17,6 +17,7 @@ with nearest z-upsampling; add ``load_model_test2``/``load_model_no2`` for the
 full two-pass path.
 """
 
+import json
 import os
 import sys
 
@@ -30,6 +31,7 @@ import numpy as np
 
 from mpgan_tpu import config as cfgmod
 from mpgan_tpu.utils import params as ph
+from mpgan_tpu.utils.liveness import touch_heartbeat
 
 
 def main(argv=None):
@@ -42,10 +44,21 @@ def main(argv=None):
     # the process silently), and external kills alike.
     retry_budget = int(ph.getParam("retryOnError", 0))
     # hang detection (0 = off): read here so the child's checkUnusedParams
-    # sees the flag as consumed too
+    # sees the flag as consumed too. hangTimeout alone (retryOnError 0)
+    # still arms the watchdog — a hang becomes a visible failure instead of
+    # a silent wedge — it just doesn't restart.
     hang_timeout = float(ph.getParam("hangTimeout", 0))
-    if retry_budget > 0 and not os.environ.get("MPGAN_TRAIN_CHILD"):
-        sys.exit(_supervise(argv, retry_budget, hang_timeout,
+    if ((retry_budget > 0 or hang_timeout > 0)
+            and not os.environ.get("MPGAN_TRAIN_CHILD")):
+        if ph.getParam("coordinator", "") or int(ph.getParam("numProcesses", 0)):
+            sys.exit(
+                "retryOnError/hangTimeout do not support multi-host "
+                "(coordinator/numProcesses) jobs: per-host supervisors would "
+                "race run-dir allocation and restart one host's process into "
+                "a distributed job whose peers are blocked in the old run's "
+                "collectives. Supervise and relaunch the whole job "
+                "externally instead.")
+        sys.exit(_supervise(argv, max(retry_budget, 0), hang_timeout,
                             infer=int(ph.getParam("out", 0)) == 1))
     # extra flags, read before from_cli's checkUnusedParams
     # multi-host (SURVEY.md §2.15): join a jax.distributed job before any
@@ -84,16 +97,24 @@ def main(argv=None):
         run_inference(cfg, load_test2, load_no2, load_test3, load_no3)
     else:
         resume_total = False
-        if resume_latest and resume_test < 0:
+        # supervisor restarts are scoped to run dirs created by THIS launch
+        # (MPGAN_RESUME_MIN): an unrelated older run under the same testPath
+        # must never hijack crash recovery
+        resume_min = int(os.environ.get("MPGAN_RESUME_MIN", "-1"))
+        if resume_latest and (resume_test < 0 or resume_min >= 0):
             from mpgan_tpu.train import checkpoint as ckpt
             pno = train_pass if train_pass else (
                 1 if cfg.train.first_gen_run else 2)
-            found = ckpt.latest_resumable(cfg.train.test_path, pass_no=pno)
+            found = ckpt.latest_resumable(cfg.train.test_path, pass_no=pno,
+                                          min_index=resume_min)
             if found is not None:
                 resume_test, resume_no = found
                 resume_total = True  # recovery completes the original budget
                 print(f"resumeLatest: test_{resume_test:04d}/"
                       f"model_{resume_no:04d}")
+            elif resume_test >= 0:
+                print(f"resumeLatest: no in-scope checkpoint — honoring "
+                      f"explicit resumeTest {resume_test}")
             else:
                 print("resumeLatest: no prior checkpoint — fresh start")
         run_training(cfg, argv, pass2_source, resume_test, resume_no,
@@ -102,29 +123,37 @@ def main(argv=None):
 
 
 def _strip_flag(argv, name):
-    """Remove ``name <value>`` pairs from a reference-style flag list."""
+    """Remove ``name <value>`` pairs from a reference-style flag list
+    (case-insensitive, matching paramhelpers.getParam semantics)."""
     out, skip = [], False
     for tok in argv:
         if skip:
             skip = False
             continue
-        if tok == name:
+        if tok.lower() == name.lower():
             skip = True
             continue
         out.append(tok)
     return out
 
 
-def _alloc_run_dir_index(test_path: str) -> int:
+def _has_flag(argv, name):
+    """True if the flag appears in argv (case-insensitive, like getParam)."""
+    return any(tok.lower() == name.lower() for tok in argv)
+
+
+def _next_run_index(test_path: str, create: bool = False) -> int:
     """Next free ``test_%04d`` index under ``test_path`` (pure-os mirror of
     checkpoint._next_run_dir_local — the supervising parent must not import
-    jax/orbax)."""
+    jax/orbax). ``create`` reserves the dir (inference pinning); training
+    leaves creation to the child."""
     import re
     os.makedirs(test_path, exist_ok=True)
     existing = [int(m.group(1)) for d in os.listdir(test_path)
                 if (m := re.fullmatch(r"test_(\d{4})", d))]
     idx = max(existing, default=-1) + 1
-    os.makedirs(os.path.join(test_path, f"test_{idx:04d}"))
+    if create:
+        os.makedirs(os.path.join(test_path, f"test_{idx:04d}"))
     return idx
 
 
@@ -171,6 +200,12 @@ def _run_child_watched(cmd, env, hang_timeout: float, heartbeat: str) -> int:
                 return proc.wait(timeout=drain)
             except subprocess.TimeoutExpired:
                 pass
+            try:
+                if os.path.getmtime(heartbeat) != mtime:
+                    continue  # it recovered during the drain (e.g. a slow
+                              # mid-run recompile finished) — not hung
+            except OSError:
+                pass
             print(f"retryOnError: child silent for {stale + drain:.0f}s "
                   f"(limit {limit:g}s); killing it", flush=True)
             proc.kill()
@@ -194,40 +229,50 @@ def _supervise(argv, retries: int, hang_timeout: float = 0.0,
     delay = float(os.environ.get("MPGAN_RETRY_DELAY_S", "30"))
     base_argv = list(argv)
     test_path = ph.getParam("testPath", "test_out/")
-    if infer and "writeTest" not in base_argv:
-        idx = _alloc_run_dir_index(test_path)
+    if infer and not _has_flag(base_argv, "writeTest"):
+        idx = _next_run_index(test_path, create=True)
         base_argv += ["writeTest", str(idx)]
         print(f"retryOnError: inference outputs pinned to test_{idx:04d} "
               f"(writeTest {idx})", flush=True)
+    # recovery scope: restarts may only resume checkpoints in run dirs this
+    # launch creates (indices >= the next free one), so an unrelated older
+    # run under the same testPath can never hijack recovery
+    resume_min = None if infer else _next_run_index(test_path)
     heartbeat = None
     if hang_timeout > 0:
         os.makedirs(test_path, exist_ok=True)
         heartbeat = os.path.join(test_path, f".heartbeat_{os.getpid()}")
         env["MPGAN_HEARTBEAT"] = heartbeat
     failures = 0
-    while True:
-        args = list(base_argv)
-        if failures and not infer:
-            args = _strip_flag(args, "resumeLatest") + ["resumeLatest", "1"]
-        cmd = [sys.executable, script] + args
-        if heartbeat:
-            rc = _run_child_watched(cmd, env, hang_timeout, heartbeat)
-        else:
-            rc = subprocess.call(cmd, env=env)
-        if rc == 0:
-            if heartbeat and os.path.exists(heartbeat):
-                os.remove(heartbeat)
-            return 0
-        failures += 1
-        if failures > retries:
-            print(f"retryOnError: giving up after {failures} failures "
-                  f"(last rc={rc})", flush=True)
-            return rc
-        kind = "inference" if infer else "training"
-        how = ("skipping done frames" if infer else "with resumeLatest 1")
-        print(f"retryOnError: {kind} child died (rc={rc}); restarting "
-              f"{how} in {delay:g}s [{failures}/{retries}]", flush=True)
-        time.sleep(delay)
+    try:
+        while True:
+            args = list(base_argv)
+            attempt_env = dict(env)
+            if failures and not infer:
+                args = (_strip_flag(args, "resumeLatest")
+                        + ["resumeLatest", "1"])
+                attempt_env["MPGAN_RESUME_MIN"] = str(resume_min)
+            cmd = [sys.executable, script] + args
+            if heartbeat:
+                rc = _run_child_watched(cmd, attempt_env, hang_timeout,
+                                        heartbeat)
+            else:
+                rc = subprocess.call(cmd, env=attempt_env)
+            if rc == 0:
+                return 0
+            failures += 1
+            if failures > retries:
+                print(f"retryOnError: giving up after {failures} failures "
+                      f"(last rc={rc})", flush=True)
+                return rc
+            kind = "inference" if infer else "training"
+            how = ("skipping done frames" if infer else "with resumeLatest 1")
+            print(f"retryOnError: {kind} child died (rc={rc}); restarting "
+                  f"{how} in {delay:g}s [{failures}/{retries}]", flush=True)
+            time.sleep(delay)
+    finally:
+        if heartbeat and os.path.exists(heartbeat):
+            os.remove(heartbeat)
 
 
 def run_training(cfg, argv, pass2_source: str = "gt",
@@ -290,10 +335,17 @@ def run_training(cfg, argv, pass2_source: str = "gt",
     print(f"run dir: {run}; devices: {len(jax.devices())} "
           f"({jax.default_backend()}); pass {pass_no}")
 
+    # the absolute iteration target is known only after the resume logic
+    # below; the sidecar records it so crash recovery (resumeLatest) can
+    # finish the ORIGINAL budget even when this run itself was an explicit
+    # resumeTest/No continuation
+    budget = {"total_iters": cfg.train.training_iters}
+
     def on_checkpoint(trainer, it):
         no = it // cfg.train.save_interval
         meta = dict(it=it, stage=trainer.rt.stage,
-                    pass_no=trainer.pass_no, up_res=tc.up_res)
+                    pass_no=trainer.pass_no, up_res=tc.up_res,
+                    total_iters=budget["total_iters"])
         ckpt.save(run, no, trainer.rt.state, meta)
         ckpt.save_gen(run, no, trainer.rt.state.params_g)
         if cfg.train.ema_decay > 0:
@@ -366,12 +418,22 @@ def run_training(cfg, argv, pass2_source: str = "gt",
         start_it = tr.restore(prev_run, no)
         if resume_total:
             # crash recovery (resumeLatest): finish the ORIGINAL budget —
-            # restarting must be idempotent, not extend the run
-            total_iters = max(cfg.train.training_iters, start_it)
+            # restarting must be idempotent, not extend the run. The dead
+            # run's sidecar records its absolute target (covers recovery of
+            # an explicit resumeTest/No continuation, whose budget is NOT
+            # cfg.train.training_iters).
+            meta_path = ckpt.model_dir(prev_run, no) + ".json"
+            recorded = -1
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    recorded = int(json.load(f).get("total_iters", -1))
+            total_iters = (recorded if recorded > 0
+                           else max(cfg.train.training_iters, start_it))
         else:
             total_iters = start_it + cfg.train.training_iters  # additional
         print(f"resumed from {prev_run}/model_{no:04d} at iter {start_it}; "
               f"training to {total_iters}")
+    budget["total_iters"] = total_iters
     # on_checkpoint runs on every process (orbax saves are collective);
     # on_log (metrics csv/tb + preview PNGs) is lead-only
     last = tr.fit(iters=total_iters, on_checkpoint=on_checkpoint,
@@ -517,9 +579,12 @@ def run_inference(cfg, load_test2: int, load_no2: int,
             os.replace(png + ".tmp", png)
 
     def frame_done(sim, f):
+        # ALL requested artifacts must exist: a crash between the .uni and
+        # .png writes must not make the restart skip the half-done frame
         base = os.path.join(out_dir, f"source_{sim:04d}_{f:04d}")
-        want = base + (".uni" if cfg.infer.write_uni else ".png")
-        return os.path.exists(want)
+        want = ([base + ".uni"] if cfg.infer.write_uni else []) + \
+               ([base + ".png"] if cfg.infer.write_png else [])
+        return bool(want) and all(os.path.exists(w) for w in want)
 
     frames = [(sim, f)
               for sim in range(cfg.data.from_sim, cfg.data.to_sim + 1)
@@ -542,12 +607,7 @@ def run_inference(cfg, load_test2: int, load_no2: int,
             while len(pending) >= 3:
                 pending.pop(0).result()
             pending.append(writer.submit(write_frame, out, hr))
-            hb = os.environ.get("MPGAN_HEARTBEAT")
-            if hb:
-                try:
-                    os.utime(hb)
-                except OSError:
-                    open(hb, "w").close()
+            touch_heartbeat()
             print(f"sim {sim} frame {f}: {lr_shape} -> {hr.shape[:3]} "
                   f"-> {out}")
             # Fault injection for elastic-recovery tests (mirrors the train

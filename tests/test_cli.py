@@ -127,6 +127,13 @@ def test_retry_on_error_elastic_recovery(workdir, tmp_path):
     sentinel = str(tmp_path / "fail_once")
     env = dict(os.environ, JAX_PLATFORMS="cpu", MPGAN_FAIL_ONCE=sentinel,
                MPGAN_RETRY_DELAY_S="0")
+    # decoy: an unrelated OLD same-pass run under the same testPath —
+    # recovery is scoped to this launch's run dirs and must never pick it
+    # (an unscoped restart would try to restore this junk dir and crash)
+    decoy = os.path.join(str(tmp_path), "runs", "test_0000", "model_0003")
+    os.makedirs(decoy)
+    with open(decoy + ".json", "w") as f:
+        f.write('{"pass_no": 1, "it": 300, "total_iters": 301}')
     args = (f"out 0 basePath {d}/data/ fromSim 1000 toSim 1000 frameMax 5 "
             "upRes 4 tileSizeLow 6 useVelocities 1 trainingIters 4 "
             "batchSize 2 saveInterval 2 outputInterval 2 useTempoD 0 "
@@ -140,7 +147,8 @@ def test_retry_on_error_elastic_recovery(workdir, tmp_path):
     assert os.path.exists(sentinel)  # the fault really fired
     assert "injected fault" in r.stderr
     assert "retryOnError: training child died" in r.stdout
-    assert "resumeLatest: test_0000/model_0001" in r.stdout
+    # resumed its OWN run (test_0001; test_0000 is the out-of-scope decoy)
+    assert "resumeLatest: test_0001/model_0001" in r.stdout
     assert "done:" in r.stdout  # restarted child ran to completion
     # recovery finishes the ORIGINAL trainingIters budget (4 → last it=3),
     # unlike explicit resumeTest/No which trains trainingIters more

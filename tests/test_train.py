@@ -273,6 +273,29 @@ def test_latest_resumable_picks_newest_same_pass(tmp_path):
     assert ckpt.latest_resumable(str(tmp_path)) == (1, 1)
 
 
+def test_latest_resumable_min_index_scopes_recovery(tmp_path):
+    """min_index (set by the retryOnError supervisor as MPGAN_RESUME_MIN)
+    restricts the scan to run dirs this launch created: an unrelated older
+    run under the same testPath must never hijack crash recovery."""
+    import json
+    import os
+    from mpgan_tpu.train import checkpoint as ckpt
+
+    for nos in ([0, 5], [1]):  # test_0000 (old run), test_0001 (this launch)
+        run = ckpt.next_run_dir(str(tmp_path))
+        for no in nos:
+            os.makedirs(ckpt.model_dir(run, no))
+            with open(ckpt.model_dir(run, no) + ".json", "w") as f:
+                json.dump({"pass_no": 1, "it": no * 100}, f)
+    assert ckpt.latest_resumable(str(tmp_path), pass_no=1) == (1, 1)
+    assert ckpt.latest_resumable(str(tmp_path), pass_no=1,
+                                 min_index=1) == (1, 1)
+    # only the old run has checkpoints in scope → recovery finds nothing
+    # (fresh start) rather than resuming the unrelated run
+    assert ckpt.latest_resumable(str(tmp_path), pass_no=1,
+                                 min_index=2) is None
+
+
 def test_latest_resumable_skips_sidecarless_when_pass_requested(tmp_path):
     """A checkpoint without a .json sidecar has an unknown pass: with a
     pass filter it must be skipped (older models in the run are scanned),
