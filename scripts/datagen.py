@@ -18,6 +18,17 @@ honor_jax_platforms_env()  # JAX_PLATFORMS must win over sitecustomize's pin
 from mpgan_tpu.utils import params as ph
 
 
+def _sim_complete(sim_dir: str, frames: int, with_obstacle: bool) -> bool:
+    """A sim dir is complete iff its LAST frame's files all exist — frames
+    are written in order and .uni writes are atomic (tmp + rename)."""
+    f = frames - 1
+    names = [f"density_high_{f:04d}.uni", f"velocity_high_{f:04d}.uni",
+             f"density_low_{f:04d}.uni", f"velocity_low_{f:04d}.uni"]
+    if with_obstacle:
+        names.append(f"flags_{f:04d}.uni")
+    return all(os.path.exists(os.path.join(sim_dir, n)) for n in names)
+
+
 def main(argv=None):
     if argv is not None:
         ph.setParams(argv)
@@ -32,6 +43,9 @@ def main(argv=None):
     warmup = int(ph.getParam("warmup", 8))
     data_dim = int(ph.getParam("dataDim", 3))     # 2 → (1, Y, X) scenes
     psolver = ph.getParam("pressureSolver", "jacobi")  # jacobi | cg
+    # restartable sweeps: skip sims whose output is already complete (.uni
+    # writes are atomic, so an existing final frame implies a finished sim)
+    skip_existing = int(ph.getParam("skipExisting", 0))
     ph.checkUnusedParams()
     if psolver not in ("jacobi", "cg"):
         sys.exit(f"pressureSolver must be jacobi or cg, got {psolver!r}")
@@ -41,6 +55,11 @@ def main(argv=None):
     for i, sim in enumerate(range(from_sim, to_sim + 1)):
         with_obs = obstacles > 0 and (i % obstacles == obstacles - 1)
         sim_dir = os.path.join(base, f"sim_{sim:04d}")
+        # 2D scenes never write flags files, even with obstacles
+        if skip_existing and _sim_complete(sim_dir, frames,
+                                           with_obs and data_dim != 2):
+            print(f"sim_{sim:04d}: complete ({frames} frames) — skipped")
+            continue
         t0 = time.time()
         if data_dim == 2:
             datagen.generate_sim_2d(sim_dir, seed + sim, res_hi, up_res,

@@ -39,6 +39,22 @@ def test_datagen_cli(workdir):
     assert len(files) == 20  # 5 frames × 4 files
 
 
+def test_datagen_skip_existing(workdir):
+    """skipExisting 1: a re-run over a complete sim skips it (restartable
+    sweeps; atomic .uni writes make file-exists mean complete)."""
+    d = str(workdir)
+    sim_dir = os.path.join(d, "data", "sim_1000")
+    before = {f: os.path.getmtime(os.path.join(sim_dir, f))
+              for f in os.listdir(sim_dir)}
+    out = _run("datagen.py",
+               f"basePath {d}/data/ fromSim 1000 toSim 1000 resHigh 32 "
+               "upRes 4 frames 5 warmup 2 randSeed 1 skipExisting 1", d)
+    assert "sim_1000: complete (5 frames) — skipped" in out
+    after = {f: os.path.getmtime(os.path.join(sim_dir, f))
+             for f in os.listdir(sim_dir)}
+    assert before == after  # nothing rewritten
+
+
 def test_train_and_infer_cli(workdir):
     d = str(workdir)
     out = _run("multipass_gan.py",
