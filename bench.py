@@ -77,11 +77,16 @@ def main():
     voxels = (z * up) * (y * up) * (x * up)
     rate = voxels / dt
     baseline = float(voxels)  # north-star: one 256³ frame per second
+    metric = "voxels/sec at 4x SR 64^3->256^3 (two-pass, incl. reassembly)"
+    platform = jax.devices()[0].platform
+    if os.environ.get("MPGAN_BENCH_FALLBACK"):
+        metric += " [CPU FALLBACK - TPU tunnel unreachable; not a TPU number]"
     result = {
-        "metric": "voxels/sec at 4x SR 64^3->256^3 (two-pass, incl. reassembly)",
+        "metric": metric,
         "value": round(rate, 1),
         "unit": "voxels/sec",
         "vs_baseline": round(rate / baseline, 4),
+        "platform": platform,
     }
 
     # Roofline context (VERDICT r1 weak #6): quantify "fast" against the
@@ -146,7 +151,25 @@ def _supervise() -> int:
             f"exit code {proc.returncode}"
         print(f"[bench] attempt {attempt + 1} failed: {last_err}",
               file=sys.stderr)
-    print(f"[bench] all attempts failed; last error: {last_err}",
+    # Last resort: the tunnel stayed down through every attempt (observed
+    # 2026-08-18: multi-hour axon outage). A clearly-labeled CPU number is a
+    # better artifact than a failed run — the JSON says in the metric string
+    # that it is NOT a TPU measurement.
+    print(f"[bench] all TPU attempts failed ({last_err}); "
+          "falling back to a labeled CPU measurement", file=sys.stderr)
+    env = dict(env, JAX_PLATFORMS="cpu", MPGAN_BENCH_FALLBACK="1",
+               MPGAN_BENCH_ITERS=os.environ.get("MPGAN_BENCH_ITERS", "2"))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1800)
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+        if proc.returncode == 0 and lines and lines[-1].startswith("{"):
+            print(lines[-1])
+            return 0
+    except subprocess.TimeoutExpired:
+        pass
+    print(f"[bench] CPU fallback failed too; last TPU error: {last_err}",
           file=sys.stderr)
     return 1
 

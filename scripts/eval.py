@@ -43,8 +43,8 @@ def main(argv=None):
     from mpgan_tpu.infer import assemble
     from mpgan_tpu.io import uni
     from mpgan_tpu.parallel import mesh as pmesh
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from multipass_gan import _load_gen, _read_uni
+    from mpgan_tpu.infer.load import load_generator as _load_gen
+    from mpgan_tpu.infer.load import read_uni_volume as _read_uni
 
     gen1, params1 = _load_gen(cfg, 1, cfg.train.load_model_test,
                               cfg.train.load_model_no)

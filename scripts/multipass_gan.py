@@ -457,50 +457,16 @@ def run_training(cfg, argv, pass2_source: str = "gt",
 
 
 def _load_gen(cfg, pass_no, run_idx, model_no):
-    """Rebuild the generator of a saved run and restore its params."""
-    import jax.numpy as jnp
-    import jax
-    from mpgan_tpu.models import generator as G
-    from mpgan_tpu.train import checkpoint as ckpt
-
-    run = ckpt.run_dir(cfg.train.test_path, run_idx)
-    if model_no < 0:
-        model_no = ckpt.latest_model_no(run) or 0
-    mcfg = cfg.model
-    dtype = jnp.bfloat16 if mcfg.dtype == "bfloat16" else jnp.float32
-    t = cfg.data.tile_size_low
-    c_in = 4 if cfg.data.use_velocities else 1
-    if pass_no == 1:
-        gen = G.make_pass1(mcfg.stages, mcfg.n_base_filters,
-                           mcfg.n_res_blocks, dtype=dtype)
-        h, w = t, t
-    elif pass_no == 2:
-        gen = G.make_pass2(mcfg.stages, mcfg.n_base_filters,
-                           mcfg.n_res_blocks, dtype=dtype)
-        h, w = t, t * cfg.data.up_res
-    else:
-        gen = G.make_pass3(mcfg.n_base_filters, mcfg.n_res_blocks, dtype=dtype)
-        h = w = t * cfg.data.up_res
-    template = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, c_in)))
-    if cfg.infer.use_ema:
-        try:
-            return gen, ckpt.restore_gen(run, model_no, template,
-                                         prefix="gen_ema")
-        except FileNotFoundError:
-            # pass trained without emaDecay: fall back to the raw weights so
-            # useEma 1 composes with mixed EMA/non-EMA pass chains
-            print(f"  useEma: no gen_ema_{model_no:04d} in {run}; "
-                  "using gen_", file=sys.stderr)
-    params = ckpt.restore_gen(run, model_no, template)
-    return gen, params
+    """Rebuild the generator of a saved run and restore its params
+    (shared library implementation: mpgan_tpu.infer.load)."""
+    from mpgan_tpu.infer.load import load_generator
+    return load_generator(cfg, pass_no, run_idx, model_no)
 
 
 def _read_uni(path):
     """Decode one .uni volume, preferring the native parallel codec."""
-    from mpgan_tpu.io import native, uni
-    if native.available():
-        return native.read(path)
-    return uni.readUni(path)[1]
+    from mpgan_tpu.infer.load import read_uni_volume
+    return read_uni_volume(path)
 
 
 def run_inference(cfg, load_test2: int, load_no2: int,
