@@ -167,8 +167,11 @@ def _supervise() -> int:
         if proc.returncode == 0 and lines and lines[-1].startswith("{"):
             print(lines[-1])
             return 0
+        err_tail = (proc.stderr or "").strip().splitlines()[-3:]
+        print(f"[bench] CPU fallback exited rc={proc.returncode}: "
+              + " | ".join(err_tail), file=sys.stderr)
     except subprocess.TimeoutExpired:
-        pass
+        print("[bench] CPU fallback timed out after 1800s", file=sys.stderr)
     print(f"[bench] CPU fallback failed too; last TPU error: {last_err}",
           file=sys.stderr)
     return 1

@@ -59,6 +59,40 @@ def load_generator(cfg, pass_no: int, run_idx: int, model_no: int):
     return gen, params
 
 
+def load_pass_chain(cfg, load_test2: int = -1, load_no2: int = -1,
+                    load_test3: int = -1, load_no3: int = -1):
+    """Load the generator chain named by the reference-style flags.
+
+    Pass 1 comes from ``cfg.train.load_model_test/no``; passes 2/3 from the
+    ``load_model_test2/no2`` / ``load_model_test3/no3`` values (-1 = pass
+    absent). Returns ``(gen1, p1, gen2, p2, gen3, p3)`` with ``None`` for
+    absent passes — the shape every entry point (batch inference, eval,
+    serving) consumes.
+    """
+    gen1, p1 = load_generator(cfg, 1, cfg.train.load_model_test,
+                              cfg.train.load_model_no)
+    gen2 = p2 = gen3 = p3 = None
+    if load_test2 >= 0:
+        gen2, p2 = load_generator(cfg, 2, load_test2, load_no2)
+    if load_test3 >= 0:
+        gen3, p3 = load_generator(cfg, 3, load_test3, load_no3)
+    return gen1, p1, gen2, p2, gen3, p3
+
+
+def make_default_upscaler(cfg, chain):
+    """Mesh-aware jitted volume upscaler over a loaded pass chain."""
+    import jax
+
+    from mpgan_tpu.infer import assemble
+    from mpgan_tpu.parallel import mesh as pmesh
+
+    gen1, p1, gen2, p2, gen3, p3 = chain
+    mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
+    return assemble.make_jitted_upscaler(
+        gen1, p1, gen2, p2, cfg.data.up_res,
+        chunk=cfg.infer.slice_chunk, mesh=mesh, gen3=gen3, params3=p3)
+
+
 def read_uni_volume(path):
     """Decode one .uni volume, preferring the native parallel codec."""
     from mpgan_tpu.io import native, uni

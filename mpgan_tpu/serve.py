@@ -73,7 +73,21 @@ class InferenceServer:
         self._device_lock = threading.Lock()
         self._shutdown = threading.Event()
         if os.path.exists(sock_path):
-            os.remove(sock_path)  # stale socket from a dead server
+            # only remove a STALE socket: silently unlinking a live server's
+            # socket would leave it running (and holding the device) but
+            # unreachable, with no error anywhere
+            probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            probe.settimeout(1.0)
+            try:
+                probe.connect(sock_path)
+                raise RuntimeError(
+                    f"a live server is already bound to {sock_path}; "
+                    "pick another 'sock' path or shut the old one down")
+            except (ConnectionRefusedError, socket.timeout,
+                    FileNotFoundError):
+                os.remove(sock_path)  # stale socket from a dead server
+            finally:
+                probe.close()
         self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._sock.bind(sock_path)
         self._sock.listen(16)
@@ -98,8 +112,12 @@ class InferenceServer:
                 threads.append(t)
                 threads = [t for t in threads if t.is_alive()]
         finally:
+            # let in-flight requests finish and answer: a request can
+            # legitimately hold the device for minutes (cold remote compile
+            # of a new LR shape), and clipping the join here would kill it
+            # with neither MPOK nor MPER on the wire
             for t in threads:
-                t.join(timeout=5)
+                t.join(timeout=900)
             self._sock.close()
             if os.path.exists(self._path):
                 os.remove(self._path)
@@ -120,7 +138,8 @@ class InferenceServer:
                     _send_err(conn, f"bad magic {magic!r}")
                     return
                 try:
-                    self._one_request(conn)
+                    if not self._one_request(conn):
+                        return
                 except (ConnectionError, socket.timeout):
                     return
                 except Exception as e:  # report, keep serving others
@@ -130,26 +149,36 @@ class InferenceServer:
                         pass
                     return
 
-    def _one_request(self, conn: socket.socket) -> None:
+    def _one_request(self, conn: socket.socket) -> bool:
+        """Serve one request; False = the connection must be closed."""
         ver, z, y, x, c = struct.unpack("<5I", _recv_exact(conn, 20))
-        if ver != VERSION:
-            _send_err(conn, f"protocol version {ver} != {VERSION}")
-            return
         n = z * y * x * c
         if not 0 < n <= MAX_VOXELS:
+            # cannot resync without reading an unbounded payload
             _send_err(conn, f"volume {z}x{y}x{x}x{c} out of range")
-            return
+            return False
+        # always drain the payload BEFORE any validation error: the client
+        # sent header+payload in one write, and a connection may issue many
+        # sequential requests — erroring with the payload unread would make
+        # the next header read see payload bytes as a bogus magic
+        payload = _recv_exact(conn, 4 * n)
+        if ver != VERSION:
+            _send_err(conn, f"protocol version {ver} != {VERSION}")
+            return True
         if self._expect_c and c != self._expect_c:
             _send_err(conn, f"expected {self._expect_c} channels "
                             f"(model conditioning), got {c}")
-            return
-        payload = _recv_exact(conn, 4 * n)
+            return True
         lr = np.frombuffer(payload, "<f4").reshape(z, y, x, c)
-        with self._device_lock:
-            hr = np.ascontiguousarray(
-                np.asarray(self._upscale(lr), dtype=np.float32))
+        with self._device_lock:  # one device program at a time
+            hr_dev = self._upscale(lr)
+        # device→host fetch OUTSIDE the lock: the transfer is the dominant
+        # per-request cost on a tunneled backend and must overlap the next
+        # request's dispatch
+        hr = np.ascontiguousarray(np.asarray(hr_dev, dtype=np.float32))
         hdr = MAGIC_OK + struct.pack("<4I", *hr.shape)
         conn.sendall(hdr + hr.tobytes())
+        return True
 
 
 class Client:
@@ -159,7 +188,9 @@ class Client:
     ...     hr = c.upscale(lr)        # (z,y,x,c) f32 -> (Z,Y,X,1) f32
     """
 
-    def __init__(self, sock_path: str, timeout: float = 600.0):
+    def __init__(self, sock_path: str, timeout: float = 1200.0):
+        # default timeout covers a cold remote compile (2-10 min observed on
+        # the tunneled backend) when the server was started without warmShape
         self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._sock.settimeout(timeout)
         self._sock.connect(sock_path)

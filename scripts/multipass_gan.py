@@ -481,18 +481,12 @@ def run_inference(cfg, load_test2: int, load_no2: int,
     import jax
     import jax.numpy as jnp
     from mpgan_tpu.data import loader
-    from mpgan_tpu.infer import assemble
+    from mpgan_tpu.infer.load import load_pass_chain, make_default_upscaler
     from mpgan_tpu.io import uni
-    from mpgan_tpu.parallel import mesh as pmesh
     from mpgan_tpu.train import checkpoint as ckpt
 
-    gen1, params1 = _load_gen(cfg, 1, cfg.train.load_model_test,
-                              cfg.train.load_model_no)
-    gen2 = params2 = gen3 = params3 = None
-    if load_test2 >= 0:
-        gen2, params2 = _load_gen(cfg, 2, load_test2, load_no2)
-    if load_test3 >= 0:
-        gen3, params3 = _load_gen(cfg, 3, load_test3, load_no3)
+    chain = load_pass_chain(cfg, load_test2, load_no2, load_test3, load_no3)
+    gen1, params1, gen2, params2, gen3, params3 = chain
 
     if cfg.infer.write_test >= 0:
         # idempotent sweep (SURVEY.md §5 failure recovery): reuse an
@@ -514,11 +508,7 @@ def run_inference(cfg, load_test2: int, load_no2: int,
         print(f"pipeline-parallel inference: {pp.n_stages} stages, "
               f"split {pp.split}")
     else:
-        mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
-        upscale = assemble.make_jitted_upscaler(
-            gen1, params1, gen2, params2, cfg.data.up_res,
-            chunk=cfg.infer.slice_chunk, mesh=mesh, gen3=gen3,
-            params3=params3)
+        upscale = make_default_upscaler(cfg, chain)
 
     def read_frame(sim, f):
         sim_dir = os.path.join(cfg.data.base_path, f"sim_{sim:04d}")

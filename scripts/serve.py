@@ -43,23 +43,12 @@ def main(argv=None):
     cfg = cfgmod.from_cli(None)
 
     import jax
-    from mpgan_tpu.infer import assemble
-    from mpgan_tpu.infer.load import load_generator
-    from mpgan_tpu.parallel import mesh as pmesh
+    from mpgan_tpu.infer.load import load_pass_chain, make_default_upscaler
     from mpgan_tpu.serve import InferenceServer
 
-    gen1, params1 = load_generator(cfg, 1, cfg.train.load_model_test,
-                                   cfg.train.load_model_no)
-    gen2 = params2 = gen3 = params3 = None
-    if load_test2 >= 0:
-        gen2, params2 = load_generator(cfg, 2, load_test2, load_no2)
-    if load_test3 >= 0:
-        gen3, params3 = load_generator(cfg, 3, load_test3, load_no3)
-
-    mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
-    upscale = assemble.make_jitted_upscaler(
-        gen1, params1, gen2, params2, cfg.data.up_res,
-        chunk=cfg.infer.slice_chunk, mesh=mesh, gen3=gen3, params3=params3)
+    chain = load_pass_chain(cfg, load_test2, load_no2, load_test3, load_no3)
+    gen2, gen3 = chain[2], chain[4]
+    upscale = make_default_upscaler(cfg, chain)
 
     if not sock_path:
         os.makedirs(cfg.train.test_path, exist_ok=True)

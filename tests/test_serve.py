@@ -99,10 +99,14 @@ def test_matches_batch_inference(served):
 
 def test_channel_mismatch_is_reported(served):
     from mpgan_tpu.serve import Client
-    _, sock, _ = served
+    d, sock, _ = served
     with Client(sock) as c:
         with pytest.raises(RuntimeError, match="channels"):
             c.upscale(np.zeros((8, 8, 8, 1), np.float32))
+        # the server drains the rejected payload, so the SAME connection
+        # stays protocol-synced for a corrected request
+        hr = c.upscale(_lr_frame(d))
+        assert hr.shape == (32, 32, 32, 1)
 
 
 def test_bad_magic_is_reported(served):
