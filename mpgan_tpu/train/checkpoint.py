@@ -81,8 +81,11 @@ def save(run: str, no: int, state: Any, meta: dict) -> str:
     ckptr.save(path, jax.tree.map(host_leaf, _as_pytree(state)))
     ckptr.wait_until_finished()
     if jax.process_index() == 0:
-        with open(path + ".json", "w") as f:
+        # atomic: a SIGKILL mid-write (retryOnError watchdog) must never
+        # leave a truncated sidecar — resumeLatest keys on these files
+        with open(path + ".json.tmp", "w") as f:
             json.dump(meta, f, indent=1)
+        os.replace(path + ".json.tmp", path + ".json")
     return path
 
 
@@ -138,7 +141,11 @@ def latest_resumable(base: str, pass_no: int | None = None,
                 meta_path = model_dir(run, no) + ".json"
                 if not os.path.exists(meta_path):
                     continue  # unknown pass: not a safe resume target
-                meta = json.load(open(meta_path))
+                try:
+                    meta = json.load(open(meta_path))
+                except (json.JSONDecodeError, OSError):
+                    continue  # corrupt sidecar (pre-atomic-write kill):
+                    # unknown pass, keep scanning — recovery must not crash
                 if meta.get("pass_no") != pass_no:
                     continue
             return idx, no

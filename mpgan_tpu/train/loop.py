@@ -288,9 +288,21 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
                     kt)
         return loss_ds, loss_dt
 
+    # pure-L1 training (kAdv 0 kt 0 kf 0): no loss term touches a
+    # discriminator, so the D updates and the D forwards inside the G loss
+    # are dead weight — skip them entirely (~2× step time for the L1
+    # pretrain stage of the documented warm-start recipe)
+    pure_l1 = (lcfg.lambda_adv == 0 and lcfg.lambda_t == 0
+               and lcfg.lambda_f == 0)
+
     def g_loss(p_g, p_ds, p_dt, batch, alpha):
         x_in = _g_input(batch, pass_no)
         fake = gen_apply(p_g, x_in, alpha)
+        if pure_l1:
+            l_l1 = losses.l1_loss(fake, batch["hr"])
+            aux = dict(g_adv=0.0, l1=l_l1, feat=0.0, g_t=0.0,
+                       psnr=losses.psnr(fake, batch["hr"]))
+            return lcfg.lambda_l1 * l_l1, aux
         fake_in = D.condition_ds_input(x_in, fake, *cond_f)
         real_in = D.condition_ds_input(x_in, batch["hr"], *cond_f)
         fake_logits, feats_fake = ds_apply(p_ds, fake_in, alpha, feats=True)
@@ -319,7 +331,7 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
         params_ds, opt_ds_state = state.params_ds, state.opt_ds
         params_dt, opt_dt_state = state.params_dt, state.opt_dt
         loss_ds, loss_dt = 0.0, 0.0
-        for i in range(max(cfg.train.disc_runs, 1)):
+        for i in range(0 if pure_l1 else max(cfg.train.disc_runs, 1)):
             key, kd, kp = jax.random.split(key, 3)
             batch_d = sample(data, kd)
 
@@ -586,7 +598,18 @@ class Trainer:
         import json
         import os
         meta_path = os.path.abspath(ckpt.model_dir(run_dir, model_no)) + ".json"
-        meta = json.load(open(meta_path))
+        try:
+            meta = json.load(open(meta_path))
+        except json.JSONDecodeError as e:
+            raise ValueError(
+                f"checkpoint sidecar {meta_path} is corrupt ({e}); "
+                "pick another model_no or delete the damaged checkpoint")
+        meta_pass = meta.get("pass_no")
+        if meta_pass is not None and int(meta_pass) != self.pass_no:
+            raise ValueError(
+                f"{meta_path} records training pass {meta_pass}, but this "
+                f"run trains pass {self.pass_no} — resuming across passes "
+                "would restore mismatched parameter trees")
         stage = int(meta.get("stage", self.n_stages))
         key = jax.random.PRNGKey(self.cfg.train.rand_seed)
         self.rt = self._init_stage(stage, key, None)
@@ -612,6 +635,8 @@ class Trainer:
         cfg = self.cfg
         iters = iters if iters is not None else cfg.train.training_iters
         log_every = log_every or cfg.train.output_interval
+        if log_every <= 0:  # outputInterval 0 = log only at the end
+            log_every = max(iters, 1)
         key = jax.random.PRNGKey(cfg.train.rand_seed)
         key, k_init = jax.random.split(key)
         key = jax.random.fold_in(key, start_it)  # deterministic resume stream
@@ -625,6 +650,7 @@ class Trainer:
         auto_disp = cfg.train.steps_per_dispatch <= 0
         k_disp = 1 if auto_disp else cfg.train.steps_per_dispatch
         n_disp = 0
+        prev_prog = None  # (program id, chunk) of the last auto-cal dispatch
         if cfg.train.profile_dir:
             jax.profiler.start_trace(cfg.train.profile_dir)
         t_start = time.time()
@@ -671,9 +697,14 @@ class Trainer:
                                      k_step, alphas)
             if auto_disp:
                 # drain the pipeline so the next dispatch is timed honestly;
-                # dispatch 0 pays compile, dispatch 1 is the measurement
+                # only a dispatch re-running the PREVIOUS dispatch's program
+                # is a valid measurement — a fade→stable flip or growth
+                # boundary right after resume would make dispatch 1 pay a
+                # fresh multi-minute remote compile and lock k_disp=1 for
+                # the whole run
                 float(jax.device_get(next(iter(metrics.values()))))
-                if n_disp == 1 and chunk == 1:
+                if (n_disp >= 1 and chunk == 1
+                        and (id(fn), chunk) == prev_prog):
                     k_disp = pick_dispatch_k(
                         time.perf_counter() - t_disp, measure_dispatch_pair_s(),
                         cap=min(64, max(1, log_every)))
@@ -686,6 +717,7 @@ class Trainer:
                         k_disp = int(multihost_utils.broadcast_one_to_all(
                             jnp.int32(k_disp)))
                     auto_disp = False
+                prev_prog = (id(fn), chunk)
             n_disp += 1
             self.rt = StageRuntime(self.rt.stage, self.rt.gen, self.rt.ds,
                                    self.rt.dt, self.rt.step_fade,
@@ -695,7 +727,11 @@ class Trainer:
 
             if (it - chunk) // log_every != it // log_every or it >= iters:
                 last = {k: float(v) for k, v in metrics.items()}
-                last.update(it=it - 1, stage=stage, alpha=float(alpha),
+                # metrics are the chunk's LAST step — log that step's alpha,
+                # not the chunk-start value (off by chunk-1 fade steps)
+                alpha_last = (self.schedule.stage_at(it - 1)[1]
+                              if self.schedule else 1.0)
+                last.update(it=it - 1, stage=stage, alpha=float(alpha_last),
                             wall=time.time() - t_start)
                 self.metrics_log.append(last)
                 if on_log:

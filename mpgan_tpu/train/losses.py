@@ -108,17 +108,6 @@ def feature_loss(feats_real: list[jnp.ndarray],
     return total
 
 
-def upsample_velocity(vel_lr: jnp.ndarray, fh: int, fw: int) -> jnp.ndarray:
-    """(B, h, w, 2) LR-unit in-plane velocity → HR grid, HR pixel units.
-
-    Channel 0 is the w-component, channel 1 the h-component (pipeline layout
-    [d, v_w, v_h, ...]); each is scaled by its axis's upsample factor.
-    """
-    b, h, w, _ = vel_lr.shape
-    v = jax.image.resize(vel_lr, (b, h * fh, w * fw, 2), method="linear")
-    return v * jnp.asarray([fw, fh], dtype=v.dtype)
-
-
 def align_triplet(prev: jnp.ndarray, cur: jnp.ndarray, nxt: jnp.ndarray,
                   vel_hr: jnp.ndarray, use_pallas: bool = False,
                   max_disp: int = 8) -> jnp.ndarray:

@@ -677,3 +677,76 @@ def test_lazy_r1_skips_off_steps():
     w_l = np.asarray(jax.tree_util.tree_leaves(tr_l.rt.state.params_ds)[0])
     w_d = np.asarray(jax.tree_util.tree_leaves(tr_d.rt.state.params_ds)[0])
     assert not np.allclose(w_l, w_d)
+
+
+def test_pure_l1_skips_discriminator():
+    """kAdv 0 kt 0 kf 0: no loss term touches a discriminator, so D params
+    must stay at init (the step skips D updates entirely) while G trains."""
+    import dataclasses
+    ds = _dataset()
+    base = _config(stages=1)
+    cfg = dataclasses.replace(
+        base, loss=dataclasses.replace(base.loss, lambda_adv=0.0,
+                                       lambda_t=0.0, lambda_f=0.0))
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    tr = Trainer(cfg, tc)
+    k = jax.random.PRNGKey(0)
+    tr.rt = tr._init_stage(tr.n_stages, k, None)
+    ds_before = jax.tree.map(np.asarray, tr.rt.state.params_ds)
+    g_before = np.asarray(
+        jax.tree_util.tree_leaves(tr.rt.state.params_g)[0]).copy()
+    out = tr.fit(iters=3, log_every=1)
+    assert out["d_loss"] == 0.0 and out["g_adv"] == 0.0
+    assert np.isfinite(out["l1"])
+    for a, b in zip(jax.tree_util.tree_leaves(ds_before),
+                    jax.tree_util.tree_leaves(
+                        jax.tree.map(np.asarray, tr.rt.state.params_ds))):
+        np.testing.assert_array_equal(a, b)
+    g_after = np.asarray(jax.tree_util.tree_leaves(tr.rt.state.params_g)[0])
+    assert not np.allclose(g_before, g_after)  # G did train
+
+
+def test_output_interval_zero_logs_only_at_end():
+    """outputInterval 0 must not divide by zero; it means 'log at end'."""
+    import dataclasses
+    ds = _dataset()
+    base = _config(stages=1)
+    cfg = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, output_interval=0))
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    tr = Trainer(cfg, tc)
+    out = tr.fit(iters=3)
+    assert out["it"] == 2
+    assert len(tr.metrics_log) == 1  # exactly the final log point
+
+
+def test_restore_rejects_cross_pass_checkpoint(tmp_path):
+    """Resuming pass-2 training from a pass-1 checkpoint must fail with a
+    clear error, not an orbax shape mismatch."""
+    from mpgan_tpu.train import checkpoint as ckpt
+    ds = _dataset()
+    cfg = _config(stages=1)
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    tr = Trainer(cfg, tc)
+    tr.fit(iters=1, log_every=1)
+    run = ckpt.next_run_dir(str(tmp_path))
+    ckpt.save(run, 0, tr.rt.state, dict(it=1, stage=1, pass_no=1))
+    tr2 = Trainer(cfg, tc, pass_no=2)
+    with pytest.raises(ValueError, match="pass"):
+        tr2.restore(run, 0)
+
+
+def test_latest_resumable_skips_corrupt_sidecar(tmp_path):
+    """A truncated .json sidecar (kill mid-write before atomic writes) is
+    treated as unknown-pass and skipped, not crashed on."""
+    import os
+    from mpgan_tpu.train import checkpoint as ckpt
+    base = str(tmp_path)
+    for idx, no in [(0, 0), (1, 0)]:
+        run = ckpt.run_dir(base, idx)
+        os.makedirs(ckpt.model_dir(run, no))
+        meta = ckpt.model_dir(run, no) + ".json"
+        with open(meta, "w") as f:
+            f.write('{"pass_no": 1, "it": 5}' if idx == 0
+                    else '{"pass_no": 1, "it"')  # newest is truncated
+    assert ckpt.latest_resumable(base, pass_no=1) == (0, 0)
