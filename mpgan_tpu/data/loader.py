@@ -49,9 +49,14 @@ class FluidDataset:
 
 def vorticity(vel: np.ndarray) -> np.ndarray:
     """Curl of a (Z, Y, X, 3) velocity field, central differences, LR units
-    (the reference's ``useVorticities`` input channels, SURVEY.md §2.1)."""
+    (the reference's ``useVorticities`` input channels, SURVEY.md §2.1).
+
+    Central differences in the interior, one-sided at the boundary planes
+    (np.gradient) — the solver domain is a closed box, so a periodic
+    roll-based stencil would difference opposite faces against each other
+    and inject spurious vorticity at every boundary cell."""
     def central(a, axis):
-        return (np.roll(a, -1, axis) - np.roll(a, 1, axis)) * 0.5
+        return np.gradient(a, axis=axis)
     vx, vy, vz = vel[..., 0], vel[..., 1], vel[..., 2]
     wx = central(vz, 1) - central(vy, 0)   # axes: 0=z, 1=y, 2=x
     wy = central(vx, 0) - central(vz, 2)
@@ -76,10 +81,22 @@ class FluidDataLoader:
         self.mac_recenter = mac_recenter
 
     def _frames_for(self, sim_dir: str) -> list[int]:
-        frames = []
+        # keep only the first CONTIGUOUS run of frames: a gap in the middle
+        # (e.g. an interrupted datagen sweep) must truncate, not be skipped —
+        # the temporal-triplet sampler treats adjacent array indices as
+        # adjacent sim frames (dt = 1), and a silently bridged gap would
+        # train the temporal loss on dt=2 pairs labeled dt=1
+        frames: list[int] = []
         for f in range(self.frame_min, self.frame_max):
             if os.path.exists(os.path.join(sim_dir, LOW_DENSITY % f)):
                 frames.append(f)
+            elif frames:
+                import warnings
+                warnings.warn(
+                    f"{sim_dir}: frame {f} missing after {len(frames)} "
+                    f"contiguous frames — truncating this sim there to keep "
+                    f"temporal adjacency (dt=1) intact")
+                break
         if self.data_fraction < 1.0 and frames:
             # contiguous prefix, NOT strided: temporal triplets assume
             # adjacent array indices are adjacent sim frames (dt = 1)

@@ -254,9 +254,13 @@ def _sample_pass3(lr, final_src, hr, dense_idx, key, batch: int, plane: str,
         fin = gather_patch(final_src[v], cin, (float(s), float(s), float(s)))
         vel = None
         if st.n_vel:
+            # only the velocity channels survive the [1:4] slice below, so
+            # vorticity channels (if any) are left unpermuted/untransformed,
+            # matching pass 2 — transform them before exposing if a future
+            # pass consumes them (they are pseudo-vectors: see pass 1)
             lrp = gather_patch(lr[v], cin, (1.0, 1.0, 1.0))
             lrp = transform_vectors(
-                _permute_channels(lrp, plane, st.n_vel, st.n_vort), ai, st.n_vel)
+                _permute_channels(lrp, plane, st.n_vel), ai, st.n_vel)
             vel = lrp[..., 1:4]
         hrp = gather_patch(hr[v], cin, (float(s), float(s), float(s)))
         return fin, vel, hrp
@@ -275,7 +279,8 @@ def _sample_pass3(lr, final_src, hr, dense_idx, key, batch: int, plane: str,
 
 
 def _shard_dense(dense: np.ndarray, n_shards: int, vols_per_shard: int,
-                 grid_shape: tuple[int, int, int]) -> np.ndarray:
+                 grid_shape: tuple[int, int, int],
+                 temporal_frames: int | None = None) -> np.ndarray:
     """Partition a global (K, 4) dense-cell index by volume shard.
 
     Returns (n_shards·M, 4) with *shard-local* volume indices; each shard's
@@ -288,6 +293,9 @@ def _shard_dense(dense: np.ndarray, n_shards: int, vols_per_shard: int,
     a uniform lattice over all its local pooled cells (subsampled for size
     parity with the other shards) — mirroring the unsharded degenerate
     fallback — rather than pinning that device's sampling to one cell.
+    ``temporal_frames``: when set (the dense_idx_t variant), the fallback
+    lattice restricts volumes to frames in [1, n_frames−2] so t±1 neighbors
+    stay inside the sim — same filter the global temporal index applies.
     """
     blocks = []
     for s in range(n_shards):
@@ -300,8 +308,15 @@ def _shard_dense(dense: np.ndarray, n_shards: int, vols_per_shard: int,
     for s, blk in enumerate(blocks):
         if blk.shape[0] == 0:  # fully-empty shard: anywhere local, uniform
             gz, gy, gx = grid_shape
+            vols = np.arange(vols_per_shard)
+            if temporal_frames is not None:
+                # shards hold whole sims, so a local vol's frame is v % F
+                frm = vols % temporal_frames
+                ok = (frm >= 1) & (frm <= temporal_frames - 2)
+                if ok.any():
+                    vols = vols[ok]
             full = np.stack(np.meshgrid(
-                np.arange(vols_per_shard), np.arange(gz), np.arange(gy),
+                vols, np.arange(gz), np.arange(gy),
                 np.arange(gx), indexing="ij"), -1).reshape(-1, 4)
             if full.shape[0] > cap:
                 sel = np.random.default_rng(s).choice(
@@ -335,6 +350,7 @@ class TileCreator:
         self._host_lr = dataset.lr
         self._host_hr = dataset.hr
         self._dev: dict = {}
+        self._src: dict = {}  # interm/final sources, placed lazily via _put
         # sharded residency (VERDICT r1 #5): set by shard_over(mesh)
         self._mesh = None
         self._vol_sharding = None
@@ -346,12 +362,12 @@ class TileCreator:
             if tuple(interm.shape) != hrz_shape:
                 raise ValueError(f"interm shape {interm.shape} != expected "
                                  f"{hrz_shape}")
-            self._dev["interm"] = jnp.asarray(interm)
+            self._src["interm"] = interm
         if final is not None:
             if tuple(final.shape) != dataset.hr.shape:
                 raise ValueError(f"final shape {final.shape} != expected "
                                  f"{tuple(dataset.hr.shape)}")
-            self._dev["final"] = jnp.asarray(final)
+            self._src["final"] = final
         n_frames = int(dataset.n_frames)
 
         # dense-cell index: pooled LR density cells above the rejection
@@ -368,13 +384,17 @@ class TileCreator:
         self._pooled_shape = tuple(pooled.shape[1:])
         if dense.shape[0] == 0:  # degenerate (all-empty data): allow anywhere
             dense = np.argwhere(np.ones_like(pooled, dtype=bool))
-        self.dense_idx = jnp.asarray(dense.astype(np.int32))
+        # host copies are kept so shard_over never round-trips the index
+        # device→host (a multi-MB fetch through the axon tunnel at ~1.4 MB/s)
+        self._host_dense = dense.astype(np.int32)
+        self.dense_idx = jnp.asarray(self._host_dense)
         # temporal sampling needs frames in [1, F−2] so t±1 exist
         frm = dense[:, 0] % n_frames
         dense_t = dense[(frm >= 1) & (frm <= n_frames - 2)]
         if dense_t.shape[0] == 0:
             dense_t = dense
-        self.dense_idx_t = jnp.asarray(dense_t.astype(np.int32))
+        self._host_dense_t = dense_t.astype(np.int32)
+        self.dense_idx_t = jnp.asarray(self._host_dense_t)
 
         self.st = TCStatic(
             tile_lr=int(tile_lr), up_res=int(dataset.up_res),
@@ -423,12 +443,15 @@ class TileCreator:
         vols = self.st.n_vols // n_dev
         self.st_local = self.st._replace(n_vols=vols)
         self.dense_idx = jax.device_put(
-            _shard_dense(np.asarray(self.dense_idx), n_dev, vols,
+            _shard_dense(self._host_dense, n_dev, vols,
                          self._pooled_shape), self._vol_sharding)
         self.dense_idx_t = jax.device_put(
-            _shard_dense(np.asarray(self.dense_idx_t), n_dev, vols,
-                         self._pooled_shape), self._vol_sharding)
-        # re-place anything already resident (interm/final given at init)
+            _shard_dense(self._host_dense_t, n_dev, vols,
+                         self._pooled_shape,
+                         temporal_frames=self.st.n_frames),
+            self._vol_sharding)
+        # re-place anything already device-resident (normally nothing:
+        # lr/hr/hrz/interm/final all place lazily through _put after this)
         for k, v in list(self._dev.items()):
             self._dev[k] = jax.device_put(v, self._vol_sharding)
         return True
@@ -461,43 +484,109 @@ class TileCreator:
             if z_factor <= 1:
                 self._dev["hrz"] = self.hr
             else:
-                # per-volume: z is axis 0 of a single (Z, Y, X, C) volume
-                fn = jax.jit(partial(downsample_axis, factor=z_factor, axis=0))
-                stacked = jnp.stack(
-                    [fn(jnp.asarray(self._host_hr[i]))
-                     for i in range(self._host_hr.shape[0])])
-                # device→device reshard (no host round trip: fetches through
-                # the axon tunnel run at ~1.4 MB/s)
-                self._dev["hrz"] = self._put(stacked)
+                # build in place with buffer donation: the accumulator is
+                # created once in its final (possibly sharded) layout and each
+                # volume is downsampled (z is axis 0 of one (Z, Y, X, C)
+                # volume) then written into its row, so the transient HBM
+                # cost is 1× hrz + one HR volume — a python loop + jnp.stack
+                # would hold 2× hrz on the default device (the CLAUDE.md
+                # sweep-OOM pattern), defeating sharded residency
+                n = self._host_hr.shape[0]
+                shape = (n, self._host_hr.shape[1] // z_factor,
+                         *self._host_hr.shape[2:])
+                make = partial(jnp.zeros, shape, jnp.float32)
+                if self._vol_sharding is not None:
+                    acc = jax.jit(make, out_shardings=self._vol_sharding)()
+                    set_ = jax.jit(
+                        lambda a, i, v: jax.lax.dynamic_update_index_in_dim(
+                            a, downsample_axis(v, factor=z_factor, axis=0),
+                            i, 0),
+                        donate_argnums=(0,),
+                        out_shardings=self._vol_sharding)
+                else:
+                    acc = jax.jit(make)()
+                    set_ = jax.jit(
+                        lambda a, i, v: jax.lax.dynamic_update_index_in_dim(
+                            a, downsample_axis(v, factor=z_factor, axis=0),
+                            i, 0),
+                        donate_argnums=(0,))
+                for i in range(n):
+                    acc = set_(acc, jnp.int32(i),
+                               jnp.asarray(self._host_hr[i]))
+                self._dev["hrz"] = acc
         return self._dev["hrz"]
 
     @property
     def interm(self) -> jnp.ndarray:
-        return self._dev.get("interm", self.hrz)
+        if "interm" not in self._dev:
+            if "interm" not in self._src:
+                return self.hrz
+            # placement deferred from __init__ so shard_over (called before
+            # first use by Trainer) decides the layout — placing at init
+            # would spike the full stack onto the default device first
+            self._dev["interm"] = self._put(self._src.pop("interm"))
+        return self._dev["interm"]
 
     @property
     def final(self) -> jnp.ndarray:
-        return self._dev.get("final", self.hr)
+        if "final" not in self._dev:
+            if "final" not in self._src:
+                return self.hr
+            self._dev["final"] = self._put(self._src.pop("final"))
+        return self._dev["final"]
 
     def _idx(self, temporal: bool):
         return self.dense_idx_t if temporal else self.dense_idx
 
+    def _run(self, fn, arrays: tuple, key, batch: int, plane: str,
+             temporal: bool):
+        """Dispatch a _sample_pass* kernel, honoring sharded residency.
+
+        After shard_over() the dense index holds SHARD-LOCAL volume numbers
+        and the volume stacks are sharded, so the kernel must run inside a
+        shard_map (each device draws from its local shard) — calling it
+        directly would gather from the wrong volumes AND force GSPMD to
+        all-gather the whole dataset. Each device draws ceil(batch/n_shards)
+        samples (per-device key folded with the mesh axis index, matching
+        train.loop.make_sampler); the concatenated result is trimmed to
+        ``batch``.
+        """
+        if self.n_shards <= 1:
+            return fn(*arrays, self._idx(temporal), key, batch, plane,
+                      temporal, self.st)
+        from jax.sharding import PartitionSpec as P
+        from mpgan_tpu.parallel.mesh import DATA_AXIS
+        sub = -(-batch // self.n_shards)
+        st_local = self.st_local
+
+        def local(arrs, didx_l, key_):
+            k = jax.random.fold_in(key_, jax.lax.axis_index(DATA_AXIS))
+            return fn(*arrs, didx_l, k, sub, plane, temporal, st_local)
+
+        out = jax.shard_map(
+            local, mesh=self._mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=P(DATA_AXIS))(arrays, self._idx(temporal), key)
+        if sub * self.n_shards != batch:
+            out = jax.tree.map(lambda x: x[:batch], out)
+        return out
+
     def sample_pass1(self, key, batch: int, temporal: bool = False,
                      plane: str = "xy"):
         """Pass-1 batch: {'lr' (B,t,t,C), 'hr' (B,ts,ts,1)} [+ prev/next]."""
-        return _sample_pass1(self.lr, self.hrz, self._idx(temporal), key,
-                             batch, plane, temporal, self.st)
+        return self._run(_sample_pass1, (self.lr, self.hrz), key, batch,
+                         plane, temporal)
 
     def sample_pass2(self, key, batch: int, temporal: bool = False,
                      plane: str = "xz"):
         """Pass-2 batch: {'interm' (B,t,ts,1), 'lr_vel' (B,t,ts,3),
         'hr' (B,ts,ts,1)} [+ prev/next]."""
-        return _sample_pass2(self.lr, self.interm, self.hr, self._idx(temporal),
-                             key, batch, plane, temporal, self.st)
+        return self._run(_sample_pass2, (self.lr, self.interm, self.hr), key,
+                         batch, plane, temporal)
 
     def sample_pass3(self, key, batch: int, temporal: bool = False,
                      plane: str = "yz"):
         """Pass-3 batch: {'final' (B,ts,ts,1), 'lr_vel' (B,ts,ts,3),
         'hr' (B,ts,ts,1)} [+ prev/next]."""
-        return _sample_pass3(self.lr, self.final, self.hr, self._idx(temporal),
-                             key, batch, plane, temporal, self.st)
+        return self._run(_sample_pass3, (self.lr, self.final, self.hr), key,
+                         batch, plane, temporal)

@@ -148,12 +148,5 @@ def identity_transform():
     return eye, eye
 
 
-def safe_center_range(frame_h: int, frame_w: int, tile_lr: int,
-                      scale_max: float) -> tuple[float, float, float, float]:
-    """(y_lo, y_hi, x_lo, x_hi) so any rotation at max scale stays in-bounds."""
-    margin = (tile_lr - 1) / 2.0 * scale_max * jnp.sqrt(2.0) + 1.0
-    margin = float(margin)
-    # degenerate (frame smaller than rotated footprint) → collapse to center
-    y_lo, y_hi = margin, max(frame_h - 1 - margin, margin)
-    x_lo, x_hi = margin, max(frame_w - 1 - margin, margin)
-    return y_lo, y_hi, x_lo, x_hi
+# (a safe_center_range helper used to live here; the rotated-footprint
+# margin now has a single implementation in data.pipeline._margin)

@@ -288,3 +288,88 @@ def test_shard_dense_empty_shard_uniform_fallback():
     assert blk1[:, 1].max() <= 2 and blk1[:, 2].max() <= 3
     # spread across volumes, not clustered at the origin
     assert len(np.unique(blk1[:, 0])) == 2
+
+
+def test_shard_dense_temporal_fallback_frame_bounds():
+    """The empty-shard fallback lattice for the TEMPORAL index must restrict
+    volumes to frames in [1, F-2] so t±1 neighbors stay inside the sim —
+    the global temporal index applies the same filter."""
+    from mpgan_tpu.data.pipeline import _shard_dense
+    # 2 shards × 2 sims × 3 frames; all dense cells in shard 0
+    dense = np.array([[1, 0, 0, 0], [4, 1, 1, 1]], np.int32)
+    out = _shard_dense(dense, n_shards=2, vols_per_shard=6,
+                       grid_shape=(2, 2, 2), temporal_frames=3)
+    m = out.shape[0] // 2
+    blk1 = out[m:]
+    frames = blk1[:, 0] % 3
+    assert frames.min() >= 1 and frames.max() <= 1, np.unique(blk1[:, 0])
+
+
+def test_vorticity_one_sided_at_boundaries():
+    """A linear shear vx = y has constant curl wz = -1 EVERYWHERE, including
+    the boundary planes — a periodic (roll-based) stencil would corrupt the
+    edges by differencing opposite domain faces."""
+    from mpgan_tpu.data.loader import vorticity
+    z, y, x = 4, 8, 6
+    vel = np.zeros((z, y, x, 3), np.float32)
+    vel[..., 0] = np.arange(y, dtype=np.float32)[None, :, None]  # vx = y
+    w = vorticity(vel)
+    np.testing.assert_allclose(w[..., 2], -1.0, atol=1e-6)
+    np.testing.assert_allclose(w[..., 0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(w[..., 1], 0.0, atol=1e-6)
+
+
+def test_frames_for_truncates_at_gap(tmp_path):
+    """A missing frame in the middle of a sim must truncate the frame list
+    there (dt=1 adjacency for temporal triplets), not be silently skipped."""
+    sim = tmp_path / "sim_0000"
+    sim.mkdir()
+    for f in [0, 1, 2, 4, 5]:  # gap at 3
+        (sim / f"density_low_{f:04d}.uni").touch()
+    ldr = FluidDataLoader(str(tmp_path), 0, 0, frame_min=0, frame_max=6)
+    with pytest.warns(UserWarning, match="truncating"):
+        frames = ldr._frames_for(str(sim))
+    assert frames == [0, 1, 2]
+
+
+def test_direct_sample_methods_after_shard_over():
+    """tc.sample_pass*() (the preview path) must stay correct after
+    shard_over: each device draws from ITS local sims via shard_map — the
+    shard-local dense index must never be applied to the global stacks."""
+    from mpgan_tpu.parallel import mesh as pmesh
+    n_sims, n_frames, s = 8, 3, 2
+    z, y, x = 8, 12, 12
+    rng = np.random.default_rng(3)
+    lr = rng.random((n_sims * n_frames, z, y, x, 4), dtype=np.float32)
+    for i in range(n_sims):  # density identifies the source sim
+        lr[i * n_frames:(i + 1) * n_frames, ..., 0] = (i + 1) / 10.0
+    hr = rng.random((n_sims * n_frames, z * s, y * s, x * s, 1),
+                    dtype=np.float32)
+    ds = FluidDataset(lr=lr, hr=hr, n_sims=n_sims, n_frames=n_frames,
+                      up_res=s)
+    tc = pipeline.TileCreator(ds, tile_lr=6, density_threshold=0.0,
+                              augment=False)
+    mesh = pmesh.make_mesh()
+    assert tc.shard_over(mesh)
+
+    # batch divisible by the mesh: rows [2d, 2d+1] come from device d's sims
+    b = tc.sample_pass1(jax.random.PRNGKey(0), batch=16)
+    vals = np.asarray(b["lr"][..., 0]).reshape(8, 2, -1)
+    for d in range(8):
+        np.testing.assert_allclose(
+            vals[d], (d + 1) / 10.0, atol=1e-6,
+            err_msg=f"device {d} sampled foreign sims (preview path)")
+
+    # indivisible batch: trimmed to the first `batch` rows
+    b4 = tc.sample_pass1(jax.random.PRNGKey(1), batch=4)
+    assert b4["lr"].shape[0] == 4
+    v4 = np.asarray(b4["lr"][..., 0]).reshape(4, -1)
+    for d in range(4):
+        np.testing.assert_allclose(v4[d], (d + 1) / 10.0, atol=1e-6)
+
+    # pass-2 and pass-3 previews run too (shapes + locality of hr target)
+    b2 = tc.sample_pass2(jax.random.PRNGKey(2), batch=8)
+    assert b2["interm"].shape[0] == 8
+    b3 = tc.sample_pass3(jax.random.PRNGKey(3), batch=8, temporal=True)
+    assert b3["final"].shape[0] == 8
+    assert np.isfinite(np.asarray(b3["hr_prev"])).all()
