@@ -117,7 +117,9 @@ class InferConfig:
     output_only: bool = False       # 'out 1' in the reference CLI
     frame_min: int = 0
     frame_max: int = 120
-    slice_chunk: int = 0            # 0 = auto; slices per device step
+    slice_chunk: int = 0            # slices per device step; 0 = one
+    # unchunked batch (fastest; bounded by HBM — set a chunk for volumes
+    # that do not fit, e.g. 128 at 512^3)
     write_uni: bool = True
     write_png: bool = False
     use_ema: bool = False           # load gen_ema_%04d instead of gen_%04d

@@ -62,7 +62,7 @@ def pass1_volume(gen1, params1, lr_vol: jnp.ndarray, stage: int | None = None,
 
 
 def pass2_volume(gen2, params2, interm: jnp.ndarray,
-                 lr_vel: jnp.ndarray | None, up_res: int,
+                 lr_vel: jnp.ndarray | None,
                  stage: int | None = None, chunk: int = 0,
                  mesh=None) -> jnp.ndarray:
     """Intermediate (Z, Ys, Xs, 1) [+ LR velocity (Z, Y, X, 3)] →
@@ -131,9 +131,12 @@ def upscale_volume(gen1, params1, gen2, params2, lr_vol: jnp.ndarray,
         return interm
     lr_vel = lr_vol[..., 1:4] if lr_vol.shape[-1] >= 4 else None
     if gen2 is None:
-        return jnp.repeat(interm, up_res, axis=0)
-    out = pass2_volume(gen2, params2, interm, lr_vel, up_res, stage=stage,
-                       chunk=chunk, mesh=mesh)
+        # degenerate single-pass mode: nearest z-upsample stands in for pass
+        # 2 — but a loaded pass-3 refiner must still run, not silently drop
+        out = jnp.repeat(interm, up_res, axis=0)
+    else:
+        out = pass2_volume(gen2, params2, interm, lr_vel, stage=stage,
+                           chunk=chunk, mesh=mesh)
     if gen3 is not None:
         out = pass3_volume(gen3, params3, out, lr_vel, chunk=chunk, mesh=mesh)
     return out

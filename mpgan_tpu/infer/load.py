@@ -17,29 +17,64 @@ def load_generator(cfg, pass_no: int, run_idx: int, model_no: int):
 
     ``pass_no`` selects the architecture (1 = xy SR, 2 = z refinement,
     3 = yz refiner); ``run_idx``/``model_no`` name the ``test_%04d`` run dir
-    and checkpoint number (-1 = newest). With ``cfg.infer.use_ema`` the EMA
-    weights (``gen_ema_%04d``) are preferred, falling back to the raw
-    weights for runs trained without ``emaDecay``.
+    and checkpoint number (-1 = newest run / newest checkpoint). With
+    ``cfg.infer.use_ema`` the EMA weights (``gen_ema_%04d``) are preferred,
+    falling back to the raw weights for runs trained without ``emaDecay``.
+
+    Mid-growth checkpoints (saved before the last progressive-growing stage)
+    carry a smaller param tree; the ``model_%04d.json`` sidecar's recorded
+    stage is used to rebuild a matching architecture, so any save point of a
+    growing run is loadable. The effective upscale factor of such a
+    generator is 2^stage, not the config's full ``upRes``.
     """
+    import json
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from mpgan_tpu.models import generator as G
     from mpgan_tpu.train import checkpoint as ckpt
 
+    if run_idx < 0:
+        newest = ckpt.latest_run_idx(cfg.train.test_path)
+        if newest is None:
+            raise FileNotFoundError(
+                f"load_model_test not given and no test_%04d runs under "
+                f"{cfg.train.test_path!r} to default to")
+        run_idx = newest
     run = ckpt.run_dir(cfg.train.test_path, run_idx)
     if model_no < 0:
         model_no = ckpt.latest_model_no(run) or 0
     mcfg = cfg.model
+    stages = mcfg.stages
+    meta_path = ckpt.model_dir(run, model_no) + ".json"
+    if os.path.exists(meta_path):
+        try:
+            saved_stage = json.load(open(meta_path)).get("stage")
+        except (json.JSONDecodeError, OSError):
+            saved_stage = None
+        if (pass_no != 3 and saved_stage is not None
+                and 1 <= saved_stage < stages):
+            print(f"  {run}/gen_{model_no:04d}: mid-growth checkpoint "
+                  f"(stage {saved_stage}/{stages}); effective factor "
+                  f"{2 ** saved_stage}x", file=sys.stderr)
+            stages = int(saved_stage)
     dtype = jnp.bfloat16 if mcfg.dtype == "bfloat16" else jnp.float32
     t = cfg.data.tile_size_low
-    c_in = 4 if cfg.data.use_velocities else 1
+    # input channels must match training: d (+vx,vy,vz) (+wx,wy,wz) —
+    # a vorticity-trained G1 has a 7-channel stem
+    c_in = 1
+    if cfg.data.use_velocities:
+        c_in += 3
+        if cfg.data.use_vorticities:
+            c_in += 3
     if pass_no == 1:
-        gen = G.make_pass1(mcfg.stages, mcfg.n_base_filters,
+        gen = G.make_pass1(stages, mcfg.n_base_filters,
                            mcfg.n_res_blocks, dtype=dtype)
         h, w = t, t
     elif pass_no == 2:
-        gen = G.make_pass2(mcfg.stages, mcfg.n_base_filters,
+        gen = G.make_pass2(stages, mcfg.n_base_filters,
                            mcfg.n_res_blocks, dtype=dtype)
         h, w = t, t * cfg.data.up_res
     else:
@@ -93,9 +128,19 @@ def make_default_upscaler(cfg, chain):
         chunk=cfg.infer.slice_chunk, mesh=mesh, gen3=gen3, params3=p3)
 
 
-def read_uni_volume(path):
-    """Decode one .uni volume, preferring the native parallel codec."""
+def read_uni_volume(path, mac_recenter: bool = False):
+    """Decode one .uni volume, preferring the native parallel codec.
+
+    ``mac_recenter``: average staggered MAC velocity faces to cell centers
+    (pass ``cfg.data.mac_recenter`` — a model trained with ``macRecenter 1``
+    must see recentered velocities at inference too, or its inputs are
+    silently skewed vs training). Grids without the MAC header bit (density,
+    already-collocated Vec3) pass through untouched, so this is safe to set
+    for every read.
+    """
     from mpgan_tpu.io import native, uni
-    if native.available():
-        return native.read(path)
-    return uni.readUni(path)[1]
+    arr = native.read(path) if native.available() else uni.readUni(path)[1]
+    if mac_recenter and arr.ndim == 4 and arr.shape[-1] == 3 \
+            and uni.read_gridtype(path) & uni.TYPE_MAC:
+        arr = uni.recenter_mac(arr)
+    return arr

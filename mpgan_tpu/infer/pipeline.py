@@ -93,36 +93,40 @@ class InferencePipeline:
         self.meshes = meshes
         self.up_res = up_res
 
-        p1 = pmesh.replicate(params1, meshes[0])
-        p2 = pmesh.replicate(params2, meshes[1])
+        # params are traced jit ARGS, not closure constants: closed-over
+        # arrays become jaxpr constants baked into the compile payload, and
+        # the remote axon compiler rejects big payloads (HTTP 413) — same
+        # rule as assemble.make_jitted_upscaler
+        self._p1 = pmesh.replicate(params1, meshes[0])
+        self._p2 = pmesh.replicate(params2, meshes[1])
         # handoff shardings: the axis pass k+1 slices over, on pass k+1's mesh
         self._to2_interm = NamedSharding(meshes[1], P(None, pmesh.DATA_AXIS))
         self._to2_vel = pmesh.replicated(meshes[1])
 
         @jax.jit
-        def fn1(lr_vol):
+        def fn1(p1, lr_vol):
             interm = assemble.pass1_volume(gen1, p1, lr_vol, stage=stage,
                                            chunk=chunk, mesh=meshes[0])
             vel = lr_vol[..., 1:4] if lr_vol.shape[-1] >= 4 else None
             return interm, vel
 
         @jax.jit
-        def fn2(interm, vel):
-            return assemble.pass2_volume(gen2, p2, interm, vel, up_res,
+        def fn2(p2, interm, vel):
+            return assemble.pass2_volume(gen2, p2, interm, vel,
                                          stage=stage, chunk=chunk,
                                          mesh=meshes[1])
 
         self._fn1, self._fn2, self._fn3 = fn1, fn2, None
         self._rep1 = pmesh.replicated(meshes[0])
         if self.n_stages == 3:
-            p3 = pmesh.replicate(params3, meshes[2])
+            self._p3 = pmesh.replicate(params3, meshes[2])
             # pass 3 slices over x (axis 2 of (Zs, Ys, Xs, 1))
             self._to3_vol = NamedSharding(meshes[2],
                                           P(None, None, pmesh.DATA_AXIS))
             self._to3_vel = pmesh.replicated(meshes[2])
 
             @jax.jit
-            def fn3(vol, vel):
+            def fn3(p3, vol, vel):
                 return assemble.pass3_volume(gen3, p3, vol, vel, chunk=chunk,
                                              mesh=meshes[2])
 
@@ -131,11 +135,13 @@ class InferencePipeline:
     def submit(self, lr_vol) -> jnp.ndarray:
         """Enqueue one frame through all stages; returns the final volume as
         an async jax array (not yet computed — fetch/np.asarray to wait)."""
-        lr_vol = jax.device_put(jnp.asarray(lr_vol), self._rep1)
+        # device_put takes numpy directly — jnp.asarray first would commit
+        # the frame to the default device and pay a second transfer
+        lr_vol = jax.device_put(lr_vol, self._rep1)
         if lr_vol.shape[0] == 1:
             raise ValueError("2D frames (Z == 1) are single-pass; the "
                              "pipeline needs volumetric input")
-        interm, vel = self._fn1(lr_vol)
+        interm, vel = self._fn1(self._p1, lr_vol)
         # sharded handoff needs the slice axis divisible by the stage's
         # device count; otherwise replicate (placement is a perf hint only)
         to2 = (self._to2_interm
@@ -144,7 +150,7 @@ class InferencePipeline:
         interm = jax.device_put(interm, to2)
         if vel is not None:
             vel = jax.device_put(vel, self._to2_vel)
-        out = self._fn2(interm, vel)
+        out = self._fn2(self._p2, interm, vel)
         if self._fn3 is not None:
             to3 = (self._to3_vol
                    if out.shape[2] % self.meshes[2].devices.size == 0
@@ -152,7 +158,7 @@ class InferencePipeline:
             out = jax.device_put(out, to3)
             v3 = (jax.device_put(vel, self._to3_vel)
                   if vel is not None else None)
-            out = self._fn3(out, v3)
+            out = self._fn3(self._p3, out, v3)
         return out
 
     def stream(self, frames: Iterable, depth: int | None = None

@@ -66,6 +66,14 @@ def run_dir(base: str, index: int) -> str:
     return os.path.join(base, f"test_{index:04d}")
 
 
+def latest_run_idx(base: str) -> int | None:
+    """Newest ``test_%04d`` index under ``base`` (None when none exist)."""
+    if not os.path.isdir(base):
+        return None
+    return max((int(m.group(1)) for d in os.listdir(base)
+                if (m := re.fullmatch(r"test_(\d{4})", d))), default=None)
+
+
 def model_dir(run: str, no: int) -> str:
     return os.path.join(run, f"model_{no:04d}")
 

@@ -64,8 +64,12 @@ def main(argv=None):
             chans = [d.astype(np.float32)]
             v = None
             if cfg.data.use_velocities:
-                v = _read_uni(os.path.join(sim_dir, loader.LOW_VELOCITY % f))
+                # macRecenter must match training (train/infer input parity)
+                v = _read_uni(os.path.join(sim_dir, loader.LOW_VELOCITY % f),
+                              mac_recenter=cfg.data.mac_recenter)
                 chans.append(v.astype(np.float32))
+                if cfg.data.use_vorticities:
+                    chans.append(loader.vorticity(v.astype(np.float32)))
             lr = jnp.asarray(np.concatenate(chans, axis=-1))
             gt = _read_uni(hpath)
             out = np.asarray(upscale(lr))

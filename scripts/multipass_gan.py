@@ -463,10 +463,10 @@ def _load_gen(cfg, pass_no, run_idx, model_no):
     return load_generator(cfg, pass_no, run_idx, model_no)
 
 
-def _read_uni(path):
+def _read_uni(path, mac_recenter: bool = False):
     """Decode one .uni volume, preferring the native parallel codec."""
     from mpgan_tpu.infer.load import read_uni_volume
-    return read_uni_volume(path)
+    return read_uni_volume(path, mac_recenter=mac_recenter)
 
 
 def run_inference(cfg, load_test2: int, load_no2: int,
@@ -517,8 +517,15 @@ def run_inference(cfg, load_test2: int, load_no2: int,
             return None
         chans = [_read_uni(dpath).astype(np.float32)]
         if cfg.data.use_velocities:
-            chans.append(_read_uni(os.path.join(
-                sim_dir, loader.LOW_VELOCITY % f)).astype(np.float32))
+            # macRecenter must match training (train/infer input parity)
+            vel = _read_uni(
+                os.path.join(sim_dir, loader.LOW_VELOCITY % f),
+                mac_recenter=cfg.data.mac_recenter).astype(np.float32)
+            chans.append(vel)
+            if cfg.data.use_vorticities:
+                # vorticity-trained models have 7 input channels; derive the
+                # curl exactly like the training loader does
+                chans.append(loader.vorticity(vel))
         return np.concatenate(chans, axis=-1)
 
     def write_frame(out, hr):

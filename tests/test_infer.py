@@ -130,3 +130,93 @@ def test_three_pass_volume_shapes():
                                   gen3=g3, params3=p3)
     assert out.shape == (12, 16, 20, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pass3_applies_without_pass2():
+    """A loaded pass-3 refiner must run even in degenerate single-pass mode
+    (gen2 absent): the z-upsample is nearest-repeat, then gen3 refines."""
+    g1, p1, _, _ = _gens(stages=1)
+    g3 = G.make_pass3(base_filters=8, n_res_blocks=1)
+    p3 = g3.init(jax.random.PRNGKey(11), jnp.zeros((1, 16, 16, 4)))
+    lr = jnp.asarray(np.random.default_rng(6).random((6, 8, 8, 4), np.float32))
+    plain = assemble.upscale_volume(g1, p1, None, None, lr, up_res=2)
+    with3 = assemble.upscale_volume(g1, p1, None, None, lr, up_res=2,
+                                    gen3=g3, params3=p3)
+    assert with3.shape == plain.shape == (12, 16, 16, 1)
+    assert not np.allclose(np.asarray(with3), np.asarray(plain)), \
+        "gen3 was silently dropped"
+
+
+def _cfg_for_load(tmp_path, stages=2):
+    from mpgan_tpu.config import (Config, DataConfig, LossConfig, ModelConfig,
+                                  TrainConfig)
+    return Config(
+        data=DataConfig(tile_size_low=8, up_res=2 ** stages),
+        model=ModelConfig(n_base_filters=8, n_res_blocks=1, stages=stages),
+        loss=LossConfig(),
+        train=TrainConfig(test_path=str(tmp_path)),
+    )
+
+
+def test_load_generator_mid_growth_and_newest_run(tmp_path):
+    """A checkpoint saved mid-growth (sidecar stage < config stages) must
+    load with a matching smaller architecture, and run_idx -1 must resolve
+    the NEWEST test_%04d run (not format 'test_-001')."""
+    import json
+
+    from mpgan_tpu.infer.load import load_generator
+    cfg = _cfg_for_load(tmp_path, stages=2)
+    g_mid = G.make_pass1(1, base_filters=8, n_res_blocks=1)
+    p_mid = g_mid.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)))
+    run = ckpt.next_run_dir(str(tmp_path))
+    ckpt.save_gen(run, 0, p_mid)
+    with open(ckpt.model_dir(run, 0) + ".json", "w") as f:
+        json.dump({"stage": 1, "pass_no": 1}, f)
+    gen, params = load_generator(cfg, 1, -1, -1)
+    out = gen.apply(params, jnp.zeros((1, 8, 8, 4)))
+    assert out.shape == (1, 16, 16, 1)  # 2x (saved stage), not the full 4x
+
+
+def test_load_generator_no_runs_clear_error(tmp_path):
+    import pytest
+
+    from mpgan_tpu.infer.load import load_generator
+    cfg = _cfg_for_load(tmp_path / "empty")
+    with pytest.raises(FileNotFoundError, match="load_model_test"):
+        load_generator(cfg, 1, -1, -1)
+
+
+def test_read_uni_volume_mac_recenter(tmp_path):
+    """read_uni_volume(mac_recenter=True) must recenter MAC-typed velocity
+    grids exactly like the training loader, and leave density untouched."""
+    from mpgan_tpu.infer.load import read_uni_volume
+    from mpgan_tpu.io import uni
+    rng = np.random.default_rng(4)
+    vel = rng.random((6, 8, 8, 3), np.float32)
+    vp = str(tmp_path / "velocity_low_0000.uni")
+    uni.writeUni(vp, uni.make_header(vel, grid_type=uni.TYPE_MAC | uni.TYPE_VEC3),
+                 vel)
+    raw = read_uni_volume(vp)
+    cen = read_uni_volume(vp, mac_recenter=True)
+    np.testing.assert_allclose(cen, uni.recenter_mac(raw), atol=1e-6)
+    assert not np.allclose(cen, raw)
+    dens = rng.random((6, 8, 8, 1), np.float32)
+    dp = str(tmp_path / "density_low_0000.uni")
+    uni.writeUni(dp, uni.make_header(dens), dens)
+    np.testing.assert_array_equal(read_uni_volume(dp, mac_recenter=True),
+                                  read_uni_volume(dp))
+
+
+def test_load_generator_vorticity_channels(tmp_path):
+    """A model trained with useVorticities 1 has a 7-channel stem; the
+    loader template must match or orbax restore fails on shape."""
+    from mpgan_tpu.infer.load import load_generator
+    cfg = _cfg_for_load(tmp_path, stages=1)
+    cfg.data.use_vorticities = True
+    g = G.make_pass1(1, base_filters=8, n_res_blocks=1)
+    p = g.init(jax.random.PRNGKey(2), jnp.zeros((1, 8, 8, 7)))
+    run = ckpt.next_run_dir(str(tmp_path))
+    ckpt.save_gen(run, 0, p)
+    gen, params = load_generator(cfg, 1, 0, 0)
+    out = gen.apply(params, jnp.zeros((2, 8, 8, 7)))
+    assert out.shape == (2, 16, 16, 1)
