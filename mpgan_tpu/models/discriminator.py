@@ -75,13 +75,18 @@ class Discriminator(nn.Module):
             h = nn.Conv(self._stage_filters(k), (3, 3), strides=(fh, fw),
                         dtype=self.dtype, name=f"down_{k}")(h)
             h = nn.leaky_relu(h, 0.2)
-            if k == stage - 1 and stage > 1 and fade:
-                # fade: blend with previous stage's head on downsampled input
-                h = alpha * h + (1.0 - alpha) * from_in[k - 1]
             feats.append(h)
             h = nn.Conv(self._stage_filters(k), (3, 3), dtype=self.dtype,
                         name=f"conv_{k}")(h)
             h = nn.leaky_relu(h, 0.2)
+            if k == stage - 1 and stage > 1 and fade:
+                # ProGAN fade: blend AFTER the newest stage's whole block so
+                # that at alpha=0 the net is exactly the previous-stage D
+                # (from_in[k-1] feeds down_{k-1} directly); blending before
+                # conv_{k} would route the old path through the freshly-
+                # initialized conv at full weight — a score discontinuity at
+                # every growth boundary (widths match: both stage_filters(k))
+                h = alpha * h + (1.0 - alpha) * from_in[k - 1]
             feats.append(h)
 
         h = h.reshape(h.shape[0], -1)

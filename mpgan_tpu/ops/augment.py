@@ -53,11 +53,11 @@ def sample_transform(key: jax.Array, rot_mode: int, scale_min: float,
     sigma = jax.random.uniform(k4, (), minval=scale_min, maxval=scale_max)
 
     c, s = jnp.cos(theta), jnp.sin(theta)
-    # rotation acting on (y, x) offsets
-    rot = jnp.array([[c, -s], [s, c]])
-    flip_m = jnp.array([[1.0, 0.0], [0.0, 1.0]]) * jnp.stack([fy, fx])[:, None]
-    a = rot @ flip_m * sigma
-    ainv = jnp.linalg.inv(a)
+    # A = R(θ)·diag(fy, fx)·σ and its inverse, built analytically — a 2×2
+    # matmul/inv here would run at TPU default precision (f32→bf16 dot
+    # demotion, CLAUDE.md), quantizing every sampling coordinate downstream
+    a = sigma * jnp.array([[c * fy, -s * fx], [s * fy, c * fx]])
+    ainv = jnp.array([[c * fy, s * fy], [-s * fx, c * fx]]) / sigma
     return a.astype(jnp.float32), ainv.astype(jnp.float32)
 
 
@@ -92,21 +92,31 @@ def transform_pseudovectors(patch: jnp.ndarray, ainv: jnp.ndarray,
                             start: int, n: int) -> jnp.ndarray:
     """Transform vorticity-like channels [start : start+n] (pseudo-vectors).
 
-    Under an in-plane linear map M (= ainv), a pseudo-vector transforms as
-    ``ω' = det(M)·M·ω`` for the in-plane components and ``ω'_out = det(M)·ω_out``
-    (reflections flip the sign, rotations co-rotate). Channel order within the
-    group is (ω_w, ω_h[, ω_out]), matching velocity channel conventions.
+    The consistency requirement is ω' == curl(v') for the velocity field the
+    network also sees. The out-of-plane curl of ``v' = A⁻¹·v(A·p)`` is
+    *scale-invariant* (σ cancels between the component scaling and the
+    coordinate stretch) and co-rotates, flipping sign under reflection:
+    ``ω'_out = sign(det)·ω_out``. In-plane components transform with the
+    ORTHOGONAL part of the map only, ``ω' = sign(det)·O·ω`` with
+    ``O = ainv·σ`` (the slice-normal axis is never rescaled, so no exact
+    in-plane scale law exists; rotation/flip co-transform is the consistent
+    choice). Applying raw det(ainv)=±1/σ² magnitudes here would hand the
+    network vorticity inconsistent with its own velocity channels by
+    ±(scale_max²−1) every patch. Channel order within the group is
+    (ω_w, ω_h[, ω_out]), matching velocity channel conventions.
     """
     if n == 0:
         return patch
     det = ainv[0, 0] * ainv[1, 1] - ainv[0, 1] * ainv[1, 0]
+    sdet = jnp.sign(det)
+    o = ainv / jnp.sqrt(jnp.abs(det))  # orthogonal part: scale removed
     wx = patch[..., start]
     wy = patch[..., start + 1]
-    wy2 = det * (ainv[0, 0] * wy + ainv[0, 1] * wx)
-    wx2 = det * (ainv[1, 0] * wy + ainv[1, 1] * wx)
+    wy2 = sdet * (o[0, 0] * wy + o[0, 1] * wx)
+    wx2 = sdet * (o[1, 0] * wy + o[1, 1] * wx)
     out = [patch[..., :start], wx2[..., None], wy2[..., None]]
     if n == 3:
-        out.append(patch[..., start + 2:start + 3] * det)
+        out.append(patch[..., start + 2:start + 3] * sdet)
         out.append(patch[..., start + 3:])
     else:
         out.append(patch[..., start + n:])
@@ -118,7 +128,10 @@ def _patch_coords(center_yx: jnp.ndarray, tile: int, a: jnp.ndarray,
     """(tile, tile, 2) source coords for an affine-transformed patch."""
     off = jnp.arange(tile, dtype=dtype) - (tile - 1) / 2.0
     p = jnp.stack(jnp.broadcast_arrays(off[:, None], off[None, :]), axis=-1)
-    return center_yx + jnp.einsum("ij,hwj->hwi", a, p)
+    # sampling coordinates are data-path math: HIGHEST stops the TPU bf16
+    # dot demotion from quantizing patch positions (CLAUDE.md)
+    return center_yx + jnp.einsum("ij,hwj->hwi", a, p,
+                                  precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=("tile_lr", "up_res", "n_vel"))

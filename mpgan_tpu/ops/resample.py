@@ -65,23 +65,14 @@ def _conv1d_along(x: jnp.ndarray, k: jnp.ndarray, axis: int, radius: int) -> jnp
     return jnp.moveaxis(out.reshape(*lead, n), -1, axis)
 
 
-def downsample_3d(vol: jnp.ndarray, factor: int, blur_sigma: float | None = None) -> jnp.ndarray:
-    """(Z, Y, X, C) → (Z/f, Y/f, X/f, C): Gaussian blur then box-average.
-
-    Mirrors mantaflow-style HR→LR downsampling used to build training pairs.
-    """
-    if blur_sigma is None:
-        blur_sigma = factor / 2.0
-    vol = gaussian_blur_nd(vol, blur_sigma, axes=(0, 1, 2))
-    z, y, x, c = vol.shape
-    vol = vol.reshape(z // factor, factor, y // factor, factor, x // factor, factor, c)
-    return vol.mean(axis=(1, 3, 5))
-
-
 def downsample_axis(vol: jnp.ndarray, factor: int, axis: int,
                     blur_sigma: float | None = None) -> jnp.ndarray:
     """Blur + box-average along a single axis (e.g. z-only downsampling of HR
-    volumes to build the pass-1 intermediate ground truth, SURVEY.md §2.7)."""
+    volumes to build the pass-1 intermediate ground truth, SURVEY.md §2.7).
+
+    This is THE blur/box-average implementation; the 2D/3D variants below
+    are per-axis compositions (separable blur and per-axis box means act on
+    distinct axes, so they commute)."""
     if blur_sigma is None:
         blur_sigma = factor / 2.0
     vol = gaussian_blur_nd(vol, blur_sigma, axes=(axis,))
@@ -91,11 +82,18 @@ def downsample_axis(vol: jnp.ndarray, factor: int, axis: int,
     return vol.reshape(new).mean(axis=axis + 1)
 
 
+def downsample_3d(vol: jnp.ndarray, factor: int, blur_sigma: float | None = None) -> jnp.ndarray:
+    """(Z, Y, X, C) → (Z/f, Y/f, X/f, C): Gaussian blur then box-average.
+
+    Mirrors mantaflow-style HR→LR downsampling used to build training pairs.
+    """
+    for ax in (0, 1, 2):
+        vol = downsample_axis(vol, factor, ax, blur_sigma)
+    return vol
+
+
 def downsample_2d(img: jnp.ndarray, factor: int, blur_sigma: float | None = None) -> jnp.ndarray:
     """(H, W, C) → (H/f, W/f, C): Gaussian blur then box-average."""
-    if blur_sigma is None:
-        blur_sigma = factor / 2.0
-    img = gaussian_blur_nd(img, blur_sigma, axes=(0, 1))
-    h, w, c = img.shape
-    img = img.reshape(h // factor, factor, w // factor, factor, c)
-    return img.mean(axis=(1, 3))
+    for ax in (0, 1):
+        img = downsample_axis(img, factor, ax, blur_sigma)
+    return img

@@ -143,3 +143,20 @@ def test_remat_generator_matches_plain():
     # gradients flow through the remat path
     g = jax.grad(lambda p: jnp.sum(g_remat.apply(p, x) ** 2))(p)
     assert np.isfinite(np.asarray(g["params"]["stem"]["kernel"])).all()
+
+
+def test_disc_fade_alpha0_matches_previous_stage():
+    """ProGAN fade continuity for the DISCRIMINATOR: at α=0 the grown D must
+    score exactly like the previous-stage D on the downsampled input — the
+    newly added (randomly initialized) stage block must be fully gated out.
+    (The generator-side twin of this property is pinned above; a regression
+    here destabilizes training at every growth boundary.)"""
+    import mpgan_tpu.models.discriminator as D
+    dsc = D.make_spatial(stages=2, base_filters=16)
+    x = jnp.asarray(np.random.default_rng(3).random((2, 16, 16, 5), np.float32))
+    p2 = dsc.init(jax.random.PRNGKey(2), x, stage=2)
+    logits_fade0 = dsc.apply(p2, x, stage=2, alpha=0.0, fade=True)
+    x_down = jax.image.resize(x, (2, 8, 8, 5), method="linear")
+    logits_prev = dsc.apply(p2, x_down, stage=1)
+    np.testing.assert_allclose(np.asarray(logits_fade0),
+                               np.asarray(logits_prev), rtol=1e-4, atol=1e-5)

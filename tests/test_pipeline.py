@@ -373,3 +373,32 @@ def test_direct_sample_methods_after_shard_over():
     b3 = tc.sample_pass3(jax.random.PRNGKey(3), batch=8, temporal=True)
     assert b3["final"].shape[0] == 8
     assert np.isfinite(np.asarray(b3["hr_prev"])).all()
+
+
+def test_pseudovector_scale_invariance():
+    """Vorticity must stay consistent with the velocity field the network
+    sees: the out-of-plane curl of v' = A⁻¹·v(A·p) is scale-INVARIANT, so a
+    pure-scale transform must leave all vorticity channels unchanged (the
+    old det(ainv)=1/σ² factor injected ±30-60% spurious magnitude per patch
+    at the default scale range)."""
+    from mpgan_tpu.ops.augment import transform_pseudovectors
+    patch = np.zeros((4, 4, 7), np.float32)
+    patch[..., 4] = 1.0
+    patch[..., 5] = 5.0
+    patch[..., 6] = 7.0
+    for sigma in (0.8, 1.25):
+        ainv = jnp.eye(2) / sigma  # pure scale: A = σI
+        out = np.asarray(transform_pseudovectors(
+            jnp.asarray(patch), ainv, start=4, n=3))
+        np.testing.assert_allclose(out[..., 4:7], patch[..., 4:7], atol=1e-6,
+                                   err_msg=f"sigma={sigma}")
+    # rotation: in-plane components co-rotate magnitude-preserving
+    th = 0.7
+    c, s = np.cos(th), np.sin(th)
+    ainv = jnp.asarray([[c, s], [-s, c]], jnp.float32) / 1.1  # rot + scale
+    out = np.asarray(transform_pseudovectors(jnp.asarray(patch), ainv,
+                                             start=4, n=3))
+    mag_in = np.hypot(patch[..., 4], patch[..., 5])
+    mag_out = np.hypot(out[..., 4], out[..., 5])
+    np.testing.assert_allclose(mag_out, mag_in, rtol=1e-5)
+    np.testing.assert_allclose(out[..., 6], patch[..., 6], atol=1e-6)
