@@ -143,9 +143,12 @@ class FluidDataLoader:
             # average staggered MAC faces to cell centers (SURVEY.md §2.3
             # "Verify") — but only for files whose header carries TypeMAC;
             # already-cell-centered Vec3 grids must pass through untouched.
-            # The header peek is codec-independent (native or Python decode).
+            # Header peek via the native probe when built (the Python peek
+            # is a full per-file gzip header decode on the load hot path).
+            gridtype = (native.read_gridtype if native.available()
+                        else uni.read_gridtype)
             v_arrs = [uni.recenter_mac(v)
-                      if uni.read_gridtype(p) & uni.TYPE_MAC else v
+                      if gridtype(p) & uni.TYPE_MAC else v
                       for p, v in zip(v_paths, v_arrs)]
         if self.use_velocities:
             chans = [np.concatenate([d.astype(np.float32),

@@ -139,8 +139,11 @@ def read_uni_volume(path, mac_recenter: bool = False):
     for every read.
     """
     from mpgan_tpu.io import native, uni
-    arr = native.read(path) if native.available() else uni.readUni(path)[1]
-    if mac_recenter and arr.ndim == 4 and arr.shape[-1] == 3 \
-            and uni.read_gridtype(path) & uni.TYPE_MAC:
-        arr = uni.recenter_mac(arr)
+    use_native = native.available()
+    arr = native.read(path) if use_native else uni.readUni(path)[1]
+    if mac_recenter and arr.ndim == 4 and arr.shape[-1] == 3:
+        gt = native.read_gridtype(path) if use_native \
+            else uni.read_gridtype(path)
+        if gt & uni.TYPE_MAC:
+            arr = uni.recenter_mac(arr)
     return arr

@@ -27,12 +27,20 @@ _lib_lock = threading.Lock()
 
 
 def _build() -> bool:
+    # build to a temp path + os.replace: two processes rebuilding
+    # concurrently must never clobber a .so another is about to dlopen
+    tmp = _LIB + f".tmp.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB, "-lz"],
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp, "-lz"],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError):
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -44,12 +52,16 @@ def get_lib() -> Any | None:
     with _lib_lock:
         if _lib is not None:
             return _lib or None
-        if not os.path.exists(_LIB) or (
-                os.path.exists(_SRC) and
-                os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+        stale = os.path.exists(_LIB) and os.path.exists(_SRC) and \
+            os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+        if not os.path.exists(_LIB) or stale:
             if not os.path.exists(_SRC) or not _build():
-                _lib = False
-                return None
+                # a failed rebuild (no toolchain) must not abandon a
+                # perfectly loadable committed .so — git mtimes are
+                # arbitrary, so "stale" is only a hint, not a verdict
+                if not os.path.exists(_LIB):
+                    _lib = False
+                    return None
         try:
             lib = ctypes.CDLL(_LIB)
         except OSError:
@@ -80,12 +92,25 @@ def read_header(path: str) -> dict:
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native uni codec unavailable")
-    dims = (ctypes.c_int32 * 6)()
+    dims = (ctypes.c_int32 * 7)()
     rc = lib.uni_read_header(path.encode(), dims)
     if rc != 0:
         raise IOError(f"uni_read_header({path}) failed: {rc}")
     return dict(dimZ=dims[0], dimY=dims[1], dimX=dims[2], channels=dims[3],
-                elementType=dims[4], dimT=dims[5])
+                elementType=dims[4], dimT=dims[5], gridType=dims[6])
+
+
+def read_gridtype(path: str) -> int:
+    """gridType bits via the native header probe (no Python gzip decode).
+
+    Falls back to the Python codec when the loaded .so predates the
+    gridType export (it zero-fills the extra slot, and mantaflow never
+    writes TypeNone=0 for a real grid)."""
+    gt = read_header(path)["gridType"]
+    if gt == 0:
+        from mpgan_tpu.io import uni
+        return uni.read_gridtype(path)
+    return gt
 
 
 def read(path: str) -> np.ndarray:

@@ -155,7 +155,10 @@ def make_header(
         gt = grid_type if grid_type is not None else (TYPE_INT if elem == ELEM_INT else TYPE_REAL)
     elif c == 3:
         elem, bpe = ELEM_VEC3, 12
-        gt = grid_type if grid_type is not None else TYPE_MAC | TYPE_VEC3
+        # default to plain Vec3 (cell-centered): the TypeMAC bit is a claim
+        # about STAGGERED lower-face storage, and readers gate recentering on
+        # it — callers writing true mantaflow MAC data must say so explicitly
+        gt = grid_type if grid_type is not None else TYPE_VEC3
     else:
         raise ValueError(f"channels must be 1 or 3, got {c}")
     return dict(
@@ -206,5 +209,10 @@ def write_density(path: str, dens: np.ndarray) -> None:
 
 
 def write_velocity(path: str, vel: np.ndarray) -> None:
-    """Convenience: write a (Z,Y,X,3) velocity volume (stored collocated)."""
-    writeUni(path, make_header(vel), vel)
+    """Convenience: write a (Z,Y,X,3) velocity volume (stored collocated).
+
+    The header is plain TypeVec3, NOT TypeMAC: the in-repo solver's values
+    are not mantaflow lower-face staggered data, and setting the MAC bit
+    would make ``macRecenter 1`` apply a wrong half-cell shift to
+    self-generated datasets (readers gate recentering on that bit)."""
+    writeUni(path, make_header(vel, grid_type=TYPE_VEC3), vel)

@@ -54,11 +54,13 @@ def generate_sim(sim_dir: str, seed: int, res_hi: int, up_res: int,
     # One jitted function per frame: inflow noise + solver step (+ LR
     # downsample). Running these eagerly costs an op-by-op round trip per
     # primitive on the remote-compile TPU backend (~12 s/frame); fused they
-    # run in milliseconds.
+    # run in milliseconds. The inflow mask is an explicit arg — closing over
+    # a res_hi^3 array would bake it into the remote-compile payload
+    # (HTTP 413 at dataset resolutions; CLAUDE.md).
     @jax.jit
-    def frame_step(state, t):
-        src = noise.time_varying_inflow(key, inflow_mask, t)
-        return smoke.step(state, params, src, inflow_mask)
+    def frame_step(state, inflow, t):
+        src = noise.time_varying_inflow(key, inflow, t)
+        return smoke.step(state, params, src, inflow)
 
     @jax.jit
     def frame_outputs(state):
@@ -67,13 +69,14 @@ def generate_sim(sim_dir: str, seed: int, res_hi: int, up_res: int,
         return (downsample_3d(state.density, up_res),
                 downsample_3d(state.velocity, up_res) / up_res)
 
+    inflow_mask = jnp.asarray(inflow_mask)
     t = 0
     for _ in range(warmup):
-        state = frame_step(state, t)
+        state = frame_step(state, inflow_mask, t)
         t += 1
 
     for f in range(frames):
-        state = frame_step(state, t)
+        state = frame_step(state, inflow_mask, t)
         t += 1
 
         dens_lo_j, vel_lo_j = frame_outputs(state)
@@ -87,10 +90,12 @@ def generate_sim(sim_dir: str, seed: int, res_hi: int, up_res: int,
         uni.write_density(os.path.join(sim_dir, f"density_low_{f:04d}.uni"), dens_lo[..., 0])
         uni.write_velocity(os.path.join(sim_dir, f"velocity_low_{f:04d}.uni"), vel_lo)
         if save_flags and state.solid is not None:
-            flags = state.solid.astype(np.int32)
+            # mantaflow FlagGrid encoding: TypeFluid=1, TypeObstacle=2 —
+            # writing raw 0/1 would decode as no-type/TypeFluid downstream
+            flags = np.asarray(1 + state.solid.astype(np.int32))
             uni.writeUni(os.path.join(sim_dir, f"flags_{f:04d}.uni"),
-                         uni.make_header(np.asarray(flags), grid_type=uni.TYPE_FLAGS),
-                         np.asarray(flags))
+                         uni.make_header(flags, grid_type=uni.TYPE_FLAGS),
+                         flags)
 
 
 def generate_sim_2d(sim_dir: str, seed: int, res_hi: int, up_res: int,
@@ -115,23 +120,25 @@ def generate_sim_2d(sim_dir: str, seed: int, res_hi: int, up_res: int,
                                pressure_solver=pressure_solver)
 
     @jax.jit
-    def frame_step(state, t):
+    def frame_step(state, inflow_m, t):
+        # inflow as an explicit arg (no big closure constants; CLAUDE.md)
         n = noise.value_noise_3d(jax.random.fold_in(key, t),
                                  (1, res_hi, res_hi))[0]
-        src = (0.5 + 0.5 * n)[..., None] * inflow
-        return smoke2d.step(state, params, src, inflow)
+        src = (0.5 + 0.5 * n)[..., None] * inflow_m
+        return smoke2d.step(state, params, src, inflow_m)
 
     @jax.jit
     def frame_outputs(state):
         return (downsample_2d(state.density, up_res),
                 downsample_2d(state.velocity, up_res) / up_res)
 
+    inflow = jnp.asarray(inflow)
     t = 0
     for _ in range(warmup):
-        state = frame_step(state, t)
+        state = frame_step(state, inflow, t)
         t += 1
     for f in range(frames):
-        state = frame_step(state, t)
+        state = frame_step(state, inflow, t)
         t += 1
         d_lo, v_lo = frame_outputs(state)
         d_hi = np.asarray(state.density)[None]          # (1, Y, X, 1)
@@ -147,12 +154,20 @@ def generate_sim_2d(sim_dir: str, seed: int, res_hi: int, up_res: int,
         uni.write_velocity(os.path.join(sim_dir, f"velocity_low_{f:04d}.uni"), v_lo)
 
 
+def with_obstacle(sim: int, obstacles_every: int) -> bool:
+    """Range-stable obstacle cadence, shared by every sweep loop: keyed on
+    the SIM ID (not the enumeration index) so a resumed sweep with a
+    different fromSim assigns the identical scene to each sim id — the
+    skip-existing check depends on that stability."""
+    return obstacles_every > 0 and sim % obstacles_every == obstacles_every - 1
+
+
 def generate_dataset(base_path: str, from_sim: int, to_sim: int, res_hi: int,
                      up_res: int, frames: int, seed: int = 0,
                      obstacles_every: int = 0) -> None:
     """Generate sims ``sim_%04d`` for indices [from_sim, to_sim] inclusive."""
-    for i, sim in enumerate(range(from_sim, to_sim + 1)):
-        with_obs = obstacles_every > 0 and (i % obstacles_every == obstacles_every - 1)
+    for sim in range(from_sim, to_sim + 1):
+        with_obs = with_obstacle(sim, obstacles_every)
         sim_dir = os.path.join(base_path, f"sim_{sim:04d}")
         generate_sim(sim_dir, seed + sim, res_hi, up_res, frames,
                      with_obstacle=with_obs, save_flags=with_obs)

@@ -70,8 +70,10 @@ gzFile open_at_payload(const char* path, HeaderFields* hf) {
 
 extern "C" {
 
-// dims_out: [dimZ, dimY, dimX, channels, elementType, dimT]. Returns 0 on
-// success, negative error code otherwise.
+// dims_out: [dimZ, dimY, dimX, channels, elementType, dimT, gridType].
+// gridType rides along so callers gating on header bits (MAC recentering)
+// need no second Python-side gzip decode per file. Returns 0 on success,
+// negative error code otherwise.
 int uni_read_header(const char* path, int32_t* dims_out) {
   HeaderFields hf;
   gzFile f = open_at_payload(path, &hf);
@@ -83,6 +85,7 @@ int uni_read_header(const char* path, int32_t* dims_out) {
   dims_out[3] = hf.element_type == 2 ? 3 : 1;
   dims_out[4] = hf.element_type;
   dims_out[5] = hf.dim_t;
+  dims_out[6] = hf.grid_type;
   return 0;
 }
 

@@ -52,8 +52,9 @@ def main(argv=None):
 
     from mpgan_tpu.solver import datagen
     import time
-    for i, sim in enumerate(range(from_sim, to_sim + 1)):
-        with_obs = obstacles > 0 and (i % obstacles == obstacles - 1)
+    for sim in range(from_sim, to_sim + 1):
+        # keyed on sim id (shared helper) so resumed sweeps are range-stable
+        with_obs = datagen.with_obstacle(sim, obstacles)
         sim_dir = os.path.join(base, f"sim_{sim:04d}")
         # 2D scenes never write flags files, even with obstacles
         if skip_existing and _sim_complete(sim_dir, frames,

@@ -60,3 +60,18 @@ def test_bad_file_raises(tmp_path):
     open(p, "wb").write(b"not gzip at all")
     with pytest.raises(IOError):
         native.read(p)
+
+
+def test_native_gridtype_matches_python(tmp_path):
+    """The native header probe must expose gridType so MAC gating needs no
+    second Python-side gzip decode per file on the dataset-load hot path."""
+    from mpgan_tpu.io import native, uni
+    if not native.available():
+        import pytest
+        pytest.skip("native codec unavailable")
+    vel = np.random.default_rng(1).random((3, 4, 4, 3)).astype(np.float32)
+    p = str(tmp_path / "v.uni")
+    uni.writeUni(p, uni.make_header(vel, grid_type=uni.TYPE_MAC | uni.TYPE_VEC3),
+                 vel)
+    assert native.read_gridtype(p) == uni.read_gridtype(p) \
+        == uni.TYPE_MAC | uni.TYPE_VEC3

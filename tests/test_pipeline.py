@@ -241,13 +241,32 @@ def test_loader_truncates_to_min_frames(tmp_path):
 
 
 def test_loader_mac_recenter(tmp_path):
-    """macRecenter 1 must equal manual face-averaging of the velocity
-    channels and leave density untouched (SURVEY.md §2.3 'Verify')."""
+    """macRecenter 1 must face-average only files whose header carries
+    TypeMAC (true mantaflow staggered data) and pass self-generated
+    (cell-centered Vec3) data through UNTOUCHED — the in-repo solver's
+    writer must not claim MAC, or macRecenter would shift its velocities
+    by half a cell relative to density (SURVEY.md §2.3 'Verify')."""
+    import glob
+    import os
+
     from mpgan_tpu.io import uni
     base = str(tmp_path)
     datagen.generate_dataset(base, from_sim=1000, to_sim=1000, res_hi=16,
                              up_res=2, frames=2, seed=3)
     plain = FluidDataLoader(base, 1000, 1000, frame_max=2).get()
+    # fresh datagen output is cell-centered Vec3: macRecenter is a no-op
+    cent0 = FluidDataLoader(base, 1000, 1000, frame_max=2,
+                            mac_recenter=True).get()
+    np.testing.assert_array_equal(cent0.lr, plain.lr)
+
+    # rewrite velocity files claiming TypeMAC (as real mantaflow data
+    # would): now macRecenter must equal manual face-averaging and leave
+    # density untouched
+    for p in glob.glob(os.path.join(base, "sim_1000",
+                                    "velocity_low_*.uni")):
+        _, vel = uni.readUni(p)
+        uni.writeUni(p, uni.make_header(
+            vel, grid_type=uni.TYPE_MAC | uni.TYPE_VEC3), vel)
     cent = FluidDataLoader(base, 1000, 1000, frame_max=2,
                            mac_recenter=True).get()
     np.testing.assert_array_equal(cent.lr[..., 0], plain.lr[..., 0])
@@ -257,19 +276,6 @@ def test_loader_mac_recenter(tmp_path):
         np.testing.assert_allclose(np.asarray(cent.lr[i, ..., 1:4]), want,
                                    atol=1e-6)
     assert not np.allclose(cent.lr[..., 1:4], plain.lr[..., 1:4])
-
-    # velocity files whose header is Vec3-but-not-MAC (already cell-
-    # centered) must pass through macRecenter untouched
-    import glob
-    import os
-    for p in glob.glob(os.path.join(base, "sim_1000",
-                                    "velocity_low_*.uni")):
-        _, vel = uni.readUni(p)
-        uni.writeUni(p, uni.make_header(vel, grid_type=uni.TYPE_VEC3), vel)
-    cent2 = FluidDataLoader(base, 1000, 1000, frame_max=2,
-                            mac_recenter=True).get()
-    np.testing.assert_allclose(cent2.lr[..., 1:4], plain.lr[..., 1:4],
-                               atol=1e-6)
 
 
 def test_shard_dense_empty_shard_uniform_fallback():

@@ -194,3 +194,25 @@ def test_2d_cg_projection():
     before = np.abs(np.asarray(smoke2d.divergence(
         smoke2d.enforce_boundaries(vel, solid)))).mean()
     assert after < 0.02 * before, (before, after)
+
+
+def test_with_obstacle_is_range_stable():
+    """Obstacle cadence keys on the SIM ID: a resumed sweep (different
+    fromSim) must assign the identical scene to the same sim id."""
+    full = {s: datagen.with_obstacle(s, 3) for s in range(1000, 1010)}
+    resumed = {s: datagen.with_obstacle(s, 3) for s in range(1005, 1010)}
+    for s, v in resumed.items():
+        assert v == full[s]
+    assert sum(full.values()) == 3  # every 3rd sim
+
+
+def test_flags_file_uses_mantaflow_encoding(tmp_path):
+    """flags_%04d.uni must encode TypeFluid=1 / TypeObstacle=2 (mantaflow
+    FlagGrid), not raw 0/1 — external consumers decode by those values."""
+    sim_dir = str(tmp_path / "sim_0000")
+    datagen.generate_sim(sim_dir, seed=1, res_hi=16, up_res=2, frames=1,
+                         warmup=0, with_obstacle=True, save_flags=True)
+    head, flags = uni.readUni(os.path.join(sim_dir, "flags_0000.uni"))
+    assert head["gridType"] == uni.TYPE_FLAGS
+    vals = set(np.unique(flags).tolist())
+    assert vals == {1, 2}, vals  # fluid=1, obstacle=2, nothing else

@@ -120,7 +120,8 @@ def test_readuni_recenter_respects_mac_bit(tmp_path):
     rng = np.random.default_rng(5)
     vel = rng.random((4, 4, 4, 3), dtype=np.float32)
     p_mac = str(tmp_path / "mac.uni")
-    uni.writeUni(p_mac, uni.make_header(vel), vel)  # default: MAC|VEC3
+    uni.writeUni(p_mac, uni.make_header(
+        vel, grid_type=uni.TYPE_MAC | uni.TYPE_VEC3), vel)
     _, raw = uni.readUni(p_mac)
     _, cent = uni.readUni(p_mac, recenter=True)
     np.testing.assert_allclose(cent, uni.recenter_mac(raw), atol=0)
@@ -130,3 +131,18 @@ def test_readuni_recenter_respects_mac_bit(tmp_path):
     uni.writeUni(p_vec, uni.make_header(vel, grid_type=uni.TYPE_VEC3), vel)
     _, vec = uni.readUni(p_vec, recenter=True)
     np.testing.assert_array_equal(vec, vel)
+
+
+def test_write_velocity_is_plain_vec3_not_mac(tmp_path):
+    """The in-repo solver writes cell-centered velocities, so write_velocity
+    must NOT set the TypeMAC bit — readers gate half-cell recentering on it,
+    and a wrong MAC claim would make macRecenter 1 silently shift every
+    self-generated velocity field relative to density."""
+    vel = np.random.default_rng(0).random((4, 6, 6, 3)).astype(np.float32)
+    p = str(tmp_path / "velocity_low_0000.uni")
+    uni.write_velocity(p, vel)
+    gt = uni.read_gridtype(p)
+    assert gt & uni.TYPE_VEC3 and not gt & uni.TYPE_MAC
+    # and therefore recentering reads it back bit-identically
+    _, back = uni.readUni(p, recenter=True)
+    np.testing.assert_array_equal(back, vel)
