@@ -55,9 +55,14 @@ def getParam(name: str, default: Any) -> str:
 
 
 def hasParam(name: str) -> bool:
+    """True when ``name`` appears as a flag with a value — same token scan
+    as getParam (any position followed by a value token), so the two can
+    never disagree about whether a flag is present. Part of the reference's
+    paramhelpers API surface; does not mark the param as used."""
     toks = _tokens()
     low = name.lower()
-    return any(tok.lower() == low for tok in toks[::2])
+    return any(tok.lower() == low and i + 1 < len(toks)
+               for i, tok in enumerate(toks))
 
 
 def checkUnusedParams() -> None:

@@ -22,10 +22,16 @@ def honor_jax_platforms_env() -> None:
         return
     import jax
 
+    # normalize: backend names are lowercase-canonical in jax_platforms,
+    # so 'CPU' or 'cpu, tpu' must not crash backend selection
+    want = ",".join(p.strip().lower() for p in want.split(",") if p.strip())
+
     try:
         jax.config.update("jax_platforms", want)
     except RuntimeError:
         # Backend already initialized; too late to switch. If it matches the
-        # request anyway, stay silent.
-        if jax.default_backend() not in want.split(","):
+        # request anyway, stay silent (normalize: 'CPU' / 'cpu, tpu' must
+        # count as matches for an active 'cpu' backend).
+        wanted = [p.strip().lower() for p in want.split(",")]
+        if jax.default_backend().lower() not in wanted:
             raise

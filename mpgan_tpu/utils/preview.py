@@ -20,8 +20,13 @@ import numpy as np
 
 
 def _norm(img: np.ndarray, peak: float | None = None) -> np.ndarray:
-    peak = peak if peak else max(float(img.max()), 1e-6)
-    return np.clip(img * 255.0 / peak, 0, 255).astype(np.uint8)
+    # `is None`, not falsy: an explicit peak of 0.0 (all-zero preview batch,
+    # common early in training) must keep the SHARED scale — falling back to
+    # per-image maxima would render tiny noise as full brightness and break
+    # cross-column comparability
+    if peak is None:
+        peak = float(img.max())
+    return np.clip(img * 255.0 / max(peak, 1e-6), 0, 255).astype(np.uint8)
 
 
 def save_patch_grid(path: str, columns: list[np.ndarray],

@@ -74,18 +74,25 @@ def read_tf1_variables(ckpt_path: str,
     return out
 
 
+def _path_key(path) -> str:
+    """Slash-joined key for one tree path, ``params`` root collapsed — the
+    ONE key-derivation used everywhere in this module (a second copy once
+    drifted on GetAttrKey handling and broke reconstruction)."""
+    keys = []
+    for k in path:
+        part = getattr(k, "key", getattr(k, "idx", getattr(k, "name", None)))
+        if part is not None:
+            keys.append(str(part))
+    if keys and keys[0] == "params":
+        keys = keys[1:]
+    return "/".join(keys)
+
+
 def _flat_params(params: Any) -> list[tuple[str, np.ndarray]]:
     """Flax tree → [(slash-joined key path, leaf)] in tree (alphabetical)
     order, with the framework-noise ``params`` root collapsed."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    out = []
-    for path, leaf in flat:
-        keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
-        keys = [str(k) for k in keys if k is not None]
-        if keys and keys[0] == "params":
-            keys = keys[1:]
-        out.append(("/".join(keys), np.asarray(leaf)))
-    return out
+    return [(_path_key(path), np.asarray(leaf)) for path, leaf in flat]
 
 
 def auto_match(tf_vars: Mapping[str, np.ndarray], params: Any
@@ -103,7 +110,9 @@ def auto_match(tf_vars: Mapping[str, np.ndarray], params: Any
     ambiguous: list[str] = []
     missing: list[str] = []
     for key, leaf in _flat_params(params):
-        cands = [n for n, v in unused.items() if v.shape == leaf.shape]
+        # sorted: the documented 'first in sorted-name order' tie-break must
+        # not depend on the caller's dict insertion order
+        cands = sorted(n for n, v in unused.items() if v.shape == leaf.shape)
         if not cands:
             missing.append(f"{key} {leaf.shape}")
             continue
@@ -135,6 +144,15 @@ def import_params(tf_vars: Mapping[str, np.ndarray], params_template: Any,
     """
     name_map = dict(name_map or {})
     flat = _flat_params(params_template)
+    template_keys = {k for k, _ in flat}
+    stale = sorted(set(name_map) - template_keys)
+    if stale:
+        # an unvalidated map entry would silently withhold its TF variable
+        # from auto-matching while the real leaf grabs a different one —
+        # wrong weights with no error, in the tool built for parity
+        raise KeyError(
+            f"name_map keys not in the param template: {stale}. "
+            f"Template keys: {sorted(template_keys)}")
     for key, leaf in flat:
         if key in name_map:
             tf_name = name_map[key]
@@ -159,11 +177,7 @@ def import_params(tf_vars: Mapping[str, np.ndarray], params_template: Any,
     arrays = {key: np.asarray(tf_vars[name_map[key]], dtype=dtype)
               for key, _ in flat}
     flat_paths = jax.tree_util.tree_flatten_with_path(params_template)
-    new_leaves = []
-    for path, leaf in flat_paths[0]:
-        keys = [str(getattr(k, "key", getattr(k, "idx", ""))) for k in path]
-        if keys and keys[0] == "params":
-            keys = keys[1:]
-        new_leaves.append(arrays["/".join(keys)].astype(leaf.dtype))
+    new_leaves = [arrays[_path_key(path)].astype(leaf.dtype)
+                  for path, leaf in flat_paths[0]]
     return (jax.tree_util.tree_unflatten(flat_paths[1], new_leaves),
             name_map, ambiguous)

@@ -441,8 +441,8 @@ def run_training(cfg, argv, pass2_source: str = "gt",
     # final checkpoint: next free number after any periodic saves; lead
     # decides (per-host listings could disagree on non-shared filesystems,
     # and orbax's collective save needs all processes on one path)
-    no = (ckpt.latest_model_no(run) or -1) + 1 if ckpt.latest_model_no(run) \
-        is not None else 0
+    latest = ckpt.latest_model_no(run)
+    no = latest + 1 if latest is not None else 0  # NOT `or`: 0 is a real no
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
         no = int(multihost_utils.broadcast_one_to_all(jnp.int32(no)))

@@ -173,3 +173,30 @@ def test_import_cli_roundtrip(tf1_ckpt, tmp_path):
         values["gen/d_stem/kernel"])
     m = json.load(open(os.path.join(run, "tf1_import_map.json")))
     assert m["mapping"]["stem/kernel"] == "gen/d_stem/kernel"
+
+
+def test_import_params_rejects_stale_name_map_keys():
+    """A name_map key absent from the template must raise, not silently
+    withhold its TF variable from auto-matching (wrong-weights hazard)."""
+    import numpy as np
+    import pytest
+    from mpgan_tpu.utils.tf1_import import import_params
+    template = {"params": {"stem": {"kernel": np.zeros((3, 3, 4, 8),
+                                                       np.float32)}}}
+    tf_vars = {"gen/c1/w": np.ones((3, 3, 4, 8), np.float32)}
+    with pytest.raises(KeyError, match="not in the param template"):
+        import_params(tf_vars, template,
+                      name_map={"typo/conv1/kernel": "gen/c1/w"})
+
+
+def test_auto_match_sorted_tiebreak_ignores_dict_order():
+    """Same-shape ties must resolve in sorted-name order regardless of the
+    caller's dict insertion order (documented determinism)."""
+    import numpy as np
+    from mpgan_tpu.utils.tf1_import import auto_match
+    template = {"params": {"a": {"kernel": np.zeros((2, 2), np.float32)}}}
+    for order in (("z/w", "a/w"), ("a/w", "z/w")):
+        tf_vars = {n: np.ones((2, 2), np.float32) for n in order}
+        mapping, ambiguous = auto_match(tf_vars, template)
+        assert mapping["a/kernel"] == "a/w", (order, mapping)
+        assert ambiguous == ["a/kernel"]

@@ -750,3 +750,16 @@ def test_latest_resumable_skips_corrupt_sidecar(tmp_path):
             f.write('{"pass_no": 1, "it": 5}' if idx == 0
                     else '{"pass_no": 1, "it"')  # newest is truncated
     assert ckpt.latest_resumable(base, pass_no=1) == (0, 0)
+
+
+def test_preview_norm_zero_peak_stays_dark():
+    """An all-zero preview batch with an explicit shared peak of 0.0 must
+    render black tiles, not per-image-amplified noise."""
+    from mpgan_tpu.utils.preview import _norm
+    zero = np.zeros((4, 4), np.float32)
+    assert _norm(zero, peak=0.0).max() == 0  # shared scale honored
+    half = np.full((4, 4), 0.5, np.float32)
+    assert _norm(half, peak=None).max() == 255  # per-image fallback intact
+    # explicit shared peak keeps cross-column comparability: a dim image
+    # under a bright column's peak stays dim
+    assert _norm(half, peak=255.0).max() == 0
