@@ -97,8 +97,12 @@ def main():
         ca = compiled.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) / n_iters
-        hbm_bytes = float(ca.get("bytes accessed", 0.0)) / n_iters
+        # HloCostAnalysis visits the fori_loop body ONCE regardless of trip
+        # count (verified empirically: identical flops for 10 vs 50 iters),
+        # so the reported numbers are already per-frame — dividing by
+        # n_iters again would understate GFLOPs/frame and MFU ~50x
+        flops = float(ca.get("flops", 0.0))
+        hbm_bytes = float(ca.get("bytes accessed", 0.0))
         kind = jax.devices()[0].device_kind
         peak_flops = 197e12 if "v5 lite" in kind else None
         peak_bw = 819e9 if "v5 lite" in kind else None

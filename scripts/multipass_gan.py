@@ -58,8 +58,10 @@ def main(argv=None):
                 "a distributed job whose peers are blocked in the old run's "
                 "collectives. Supervise and relaunch the whole job "
                 "externally instead.")
+        # bool(out), matching config's output_only truth (out 2 must not be
+        # supervised as training while the child runs inference)
         sys.exit(_supervise(argv, max(retry_budget, 0), hang_timeout,
-                            infer=int(ph.getParam("out", 0)) == 1))
+                            infer=bool(int(ph.getParam("out", 0)))))
     # extra flags, read before from_cli's checkUnusedParams
     # multi-host (SURVEY.md §2.15): join a jax.distributed job before any
     # backend use so the mesh below spans all hosts' devices
@@ -396,6 +398,9 @@ def run_training(cfg, argv, pass2_source: str = "gt",
         # gen checkpoint (works across configs, unlike a full-state resume)
         prev_run = ckpt.run_dir(cfg.train.test_path, warm_test)
         no = warm_no if warm_no >= 0 else ckpt.latest_model_no(prev_run)
+        if no is None:
+            sys.exit(f"warmStartTest {warm_test}: no saved checkpoints in "
+                     f"{prev_run}")
         key = jax.random.PRNGKey(cfg.train.rand_seed)
         tr.rt = tr._init_stage(tr.n_stages, key, None)
         params_g = ckpt.restore_gen(prev_run, no, tr.rt.state.params_g)
@@ -407,14 +412,21 @@ def run_training(cfg, argv, pass2_source: str = "gt",
         tr.rt = dataclasses.replace(
             tr.rt, state=tr.rt.state._replace(params_g=params_g), ema=ema)
         print(f"warm-started generator from {prev_run}/gen_{no:04d}")
-    if pass_no == 1 and warm_test < 0 and cfg.train.load_model_test >= 0:
+    if pass_no == 1 and warm_test < 0 and resume_test < 0 \
+            and cfg.train.load_model_test >= 0:
         # pass-1 semantics: load_model_* resumes training (reference behavior);
-        # for pass 2/3 those flags name the frozen upstream generators instead
+        # for pass 2/3 those flags name the frozen upstream generators
+        # instead. resume_test < 0 guard: an explicit crash-recovery target
+        # (resumeLatest) must NOT be clobbered back to the original
+        # load_model_* run — that would discard the crashed run's progress.
         resume_test, resume_no = cfg.train.load_model_test, cfg.train.load_model_no
     total_iters = cfg.train.training_iters
     if resume_test >= 0:
         prev_run = ckpt.run_dir(cfg.train.test_path, resume_test)
         no = resume_no if resume_no >= 0 else ckpt.latest_model_no(prev_run)
+        if no is None:
+            sys.exit(f"resume from test_{resume_test:04d}: no saved "
+                     f"checkpoints in {prev_run}")
         start_it = tr.restore(prev_run, no)
         if resume_total:
             # crash recovery (resumeLatest): finish the ORIGINAL budget —
@@ -533,12 +545,13 @@ def run_inference(cfg, load_test2: int, load_no2: int,
             uni.write_density(out, hr[..., 0])
         if cfg.infer.write_png:
             from PIL import Image
+
+            from mpgan_tpu.utils.preview import _norm
             mid = hr[hr.shape[0] // 2, :, :, 0]
-            img = np.clip(mid[::-1] * 255 / max(mid.max(), 1e-6), 0, 255)
             png = out[:-4] + ".png"
             # atomic for the same reason as writeUni: frame_done keys on
             # this file when writeUni 0
-            Image.fromarray(img.astype(np.uint8)).save(png + ".tmp", "PNG")
+            Image.fromarray(_norm(mid[::-1])).save(png + ".tmp", "PNG")
             os.replace(png + ".tmp", png)
 
     def frame_done(sim, f):

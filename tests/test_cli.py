@@ -237,3 +237,22 @@ def test_retry_on_error_inference_recovery(workdir, tmp_path):
     _, vol = uni.readUni(os.path.join(out_dir, unis[0]))
     assert vol.shape == (32, 32, 32, 1)
     assert np.isfinite(vol).all()
+
+
+def test_resume_from_empty_run_clear_error(workdir, tmp_path):
+    """resumeTest into a run dir with no checkpoints must exit with a clear
+    message, not a NoneType format crash deep in orbax paths."""
+    tp = tmp_path / "runs"
+    (tp / "test_0005").mkdir(parents=True)  # run that died pre-first-save
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multipass_gan.py")]
+        + (f"out 0 trainingIters 1 batchSize 4 basePath {workdir}/data/ "
+           f"testPath {tp}/ fromSim 1000 toSim 1000 upRes 4 tileSizeLow 8 "
+           "saveInterval 0 kAdv 0 kt 0 resumeTest 5").split(),
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=600)
+    assert r.returncode != 0
+    assert "no saved checkpoints" in (r.stdout + r.stderr)
+    assert "NoneType" not in r.stderr
