@@ -41,13 +41,8 @@ def main():
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     ck = os.path.join(HERE, "checkpoints")
 
-    if mode == "8x":
-        up, stages = 8, 3
-        name1, name2 = "g1_gan8", "g2_gan8"
-        d_dir = os.path.join(HERE, "data", "sim_2010")
-        frame = 24
-    elif mode == "8x3":
-        # three passes: + the L1-trained yz refiner (BASELINE row 5b)
+    if mode in ("8x", "8x3"):
+        # 8x3 = three passes: + the L1-trained yz refiner (BASELINE row 5b)
         up, stages = 8, 3
         name1, name2 = "g1_gan8", "g2_gan8"
         d_dir = os.path.join(HERE, "data", "sim_2010")
@@ -87,7 +82,7 @@ def main():
 
     try:
         from PIL import Image
-        mid = x * 2
+        mid = x * up // 2  # HR mid-slice index (x*2 was only mid for up=4)
         def sl(a):
             return np.clip(a[:, :, mid, 0][::-1] * 255 / max(gt.max(), 1e-6),
                            0, 255).astype(np.uint8)

@@ -62,12 +62,13 @@ def load_generator(cfg, pass_no: int, run_idx: int, model_no: int):
             stages = int(saved_stage)
     dtype = jnp.bfloat16 if mcfg.dtype == "bfloat16" else jnp.float32
     t = cfg.data.tile_size_low
-    # input channels must match training: d (+vx,vy,vz) (+wx,wy,wz) —
-    # a vorticity-trained G1 has a 7-channel stem
+    # input channels must match training: pass 1 sees the full LR stack
+    # (d +vel +vorticity → up to a 7-channel stem), while passes 2/3 train
+    # on [interm/final density, velocity] only (train/loop._example_inputs)
     c_in = 1
     if cfg.data.use_velocities:
         c_in += 3
-        if cfg.data.use_vorticities:
+        if cfg.data.use_vorticities and pass_no == 1:
             c_in += 3
     if pass_no == 1:
         gen = G.make_pass1(stages, mcfg.n_base_filters,
@@ -126,6 +127,34 @@ def make_default_upscaler(cfg, chain):
     return assemble.make_jitted_upscaler(
         gen1, p1, gen2, p2, cfg.data.up_res,
         chunk=cfg.infer.slice_chunk, mesh=mesh, gen3=gen3, params3=p3)
+
+
+def read_lr_frame(cfg, sim_dir: str, f: int):
+    """Assemble one LR input frame EXACTLY like the training loader:
+    density (+ macRecenter'd velocity) (+ vorticity from that velocity).
+
+    The one shared implementation for inference/eval input parity — a
+    second hand-rolled copy is how train/infer channel skew happens.
+    Returns the (Z, Y, X, C) float32 stack, or None when the density file
+    is absent (callers treat that as 'frame does not exist')."""
+    import os
+
+    import numpy as np
+
+    from mpgan_tpu.data import loader
+
+    dpath = os.path.join(sim_dir, loader.LOW_DENSITY % f)
+    if not os.path.exists(dpath):
+        return None
+    chans = [read_uni_volume(dpath).astype(np.float32)]
+    if cfg.data.use_velocities:
+        vel = read_uni_volume(
+            os.path.join(sim_dir, loader.LOW_VELOCITY % f),
+            mac_recenter=cfg.data.mac_recenter).astype(np.float32)
+        chans.append(vel)
+        if cfg.data.use_vorticities:
+            chans.append(loader.vorticity(vel))
+    return np.concatenate(chans, axis=-1)
 
 
 def read_uni_volume(path, mac_recenter: bool = False):

@@ -80,14 +80,21 @@ class InferenceServer:
             probe.settimeout(1.0)
             try:
                 probe.connect(sock_path)
+                live = True
+            except (ConnectionRefusedError, FileNotFoundError):
+                live = False  # stale socket from a dead server
+            except socket.timeout:
+                # a connect TIMEOUT on a unix socket means a LIVE server
+                # with a full accept backlog — unlinking it would strand
+                # the running server exactly as this guard tries to prevent
+                live = True
+            finally:
+                probe.close()
+            if live:
                 raise RuntimeError(
                     f"a live server is already bound to {sock_path}; "
                     "pick another 'sock' path or shut the old one down")
-            except (ConnectionRefusedError, socket.timeout,
-                    FileNotFoundError):
-                os.remove(sock_path)  # stale socket from a dead server
-            finally:
-                probe.close()
+            os.remove(sock_path)
         self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._sock.bind(sock_path)
         self._sock.listen(16)
@@ -122,13 +129,40 @@ class InferenceServer:
             if os.path.exists(self._path):
                 os.remove(self._path)
 
+    def _recv_magic(self, conn: socket.socket) -> bytes | None:
+        """Read the next 4-byte magic, polling the shutdown flag.
+
+        Between requests a keep-alive connection parks here; a plain 600 s
+        recv would make shutdown block on every idle viewer. Short timeouts
+        + re-check let idle handlers exit within ~1 s of shutdown while
+        partial reads are preserved. Returns None on shutdown/peer close.
+        """
+        buf = bytearray()
+        conn.settimeout(1.0)
+        try:
+            while not self._shutdown.is_set():
+                try:
+                    chunk = conn.recv(4 - len(buf))
+                except socket.timeout:
+                    continue
+                if not chunk:
+                    return None
+                buf.extend(chunk)
+                if len(buf) == 4:
+                    return bytes(buf)
+            return None
+        finally:
+            conn.settimeout(600)
+
     def _handle(self, conn: socket.socket) -> None:
         with conn:
             conn.settimeout(600)
             while not self._shutdown.is_set():
                 try:
-                    magic = _recv_exact(conn, 4)
-                except (ConnectionError, socket.timeout):
+                    magic = self._recv_magic(conn)
+                except (ConnectionError, OSError):
+                    return
+                if magic is None:
                     return
                 if magic == MAGIC_QUIT:
                     conn.sendall(MAGIC_OK + struct.pack("<4I", 0, 0, 0, 0))
@@ -176,8 +210,10 @@ class InferenceServer:
         # per-request cost on a tunneled backend and must overlap the next
         # request's dispatch
         hr = np.ascontiguousarray(np.asarray(hr_dev, dtype=np.float32))
-        hdr = MAGIC_OK + struct.pack("<4I", *hr.shape)
-        conn.sendall(hdr + hr.tobytes())
+        # two sends, zero copies: hdr + hr.tobytes() would allocate the
+        # whole volume twice more (~1 GB transient at 512^3)
+        conn.sendall(MAGIC_OK + struct.pack("<4I", *hr.shape))
+        conn.sendall(memoryview(hr).cast("B"))
         return True
 
 
@@ -201,8 +237,8 @@ class Client:
             vol = vol[..., None]
         if vol.ndim != 4:
             raise ValueError(f"need (z,y,x,c), got shape {vol.shape}")
-        hdr = MAGIC_REQ + struct.pack("<5I", VERSION, *vol.shape)
-        self._sock.sendall(hdr + vol.tobytes())
+        self._sock.sendall(MAGIC_REQ + struct.pack("<5I", VERSION, *vol.shape))
+        self._sock.sendall(memoryview(vol).cast("B"))  # zero-copy payload
         return self._read_response()
 
     def shutdown_server(self) -> None:

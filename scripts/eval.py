@@ -41,8 +41,8 @@ def main(argv=None):
     import jax.numpy as jnp
     from mpgan_tpu.data import loader
     from mpgan_tpu.infer import assemble
-    from mpgan_tpu.io import uni
     from mpgan_tpu.infer.load import (load_pass_chain, make_default_upscaler,
+                                      read_lr_frame,
                                       read_uni_volume as _read_uni)
 
     chain = load_pass_chain(cfg, load_test2, load_no2, load_test3, load_no3)
@@ -56,21 +56,17 @@ def main(argv=None):
         sim_dir = os.path.join(cfg.data.base_path, f"sim_{sim:04d}")
         prev_out = prev_gt = None
         for f in range(cfg.infer.frame_min, cfg.infer.frame_max):
-            dpath = os.path.join(sim_dir, loader.LOW_DENSITY % f)
             hpath = os.path.join(sim_dir, loader.HIGH_DENSITY % f)
-            if not (os.path.exists(dpath) and os.path.exists(hpath)):
+            # shared reader = training-parity channels (macRecenter, vort)
+            lr_np = read_lr_frame(cfg, sim_dir, f)
+            if lr_np is None or not os.path.exists(hpath):
+                # a gap breaks temporal adjacency: the tdiff warp assumes
+                # dt=1, so warping across the gap would corrupt the metric
+                prev_out = prev_gt = None
                 continue
-            d = _read_uni(dpath)
-            chans = [d.astype(np.float32)]
-            v = None
-            if cfg.data.use_velocities:
-                # macRecenter must match training (train/infer input parity)
-                v = _read_uni(os.path.join(sim_dir, loader.LOW_VELOCITY % f),
-                              mac_recenter=cfg.data.mac_recenter)
-                chans.append(v.astype(np.float32))
-                if cfg.data.use_vorticities:
-                    chans.append(loader.vorticity(v.astype(np.float32)))
-            lr = jnp.asarray(np.concatenate(chans, axis=-1))
+            d = lr_np[..., :1]
+            v = lr_np[..., 1:4] if cfg.data.use_velocities else None
+            lr = jnp.asarray(lr_np)
             gt = _read_uni(hpath)
             out = np.asarray(upscale(lr))
             z, y, x, _ = d.shape
@@ -92,6 +88,11 @@ def main(argv=None):
                 tdiffs_gt.append(float(np.abs(gt - warp_gt).mean()))
             prev_out, prev_gt = out, gt
 
+    if not psnrs:
+        sys.exit(f"no evaluable frames: no (density_low, density_high) pairs "
+                 f"for sims {cfg.data.from_sim}..{cfg.data.to_sim}, frames "
+                 f"{cfg.infer.frame_min}..{cfg.infer.frame_max} under "
+                 f"{cfg.data.base_path!r} — check basePath/sim/frame ranges")
     result = {
         "frames": len(psnrs),
         "psnr_mean": round(float(np.mean(psnrs)), 3),

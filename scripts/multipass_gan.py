@@ -475,12 +475,6 @@ def _load_gen(cfg, pass_no, run_idx, model_no):
     return load_generator(cfg, pass_no, run_idx, model_no)
 
 
-def _read_uni(path, mac_recenter: bool = False):
-    """Decode one .uni volume, preferring the native parallel codec."""
-    from mpgan_tpu.infer.load import read_uni_volume
-    return read_uni_volume(path, mac_recenter=mac_recenter)
-
-
 def run_inference(cfg, load_test2: int, load_no2: int,
                   load_test3: int = -1, load_no3: int = -1):
     """Checkpoint → full-volume SR sweep (SURVEY.md §3.3).
@@ -492,7 +486,6 @@ def run_inference(cfg, load_test2: int, load_no2: int,
 
     import jax
     import jax.numpy as jnp
-    from mpgan_tpu.data import loader
     from mpgan_tpu.infer.load import load_pass_chain, make_default_upscaler
     from mpgan_tpu.io import uni
     from mpgan_tpu.train import checkpoint as ckpt
@@ -523,22 +516,11 @@ def run_inference(cfg, load_test2: int, load_no2: int,
         upscale = make_default_upscaler(cfg, chain)
 
     def read_frame(sim, f):
+        # shared reader (infer.load.read_lr_frame) = training-parity
+        # channels: macRecenter'd velocity, derived vorticity
+        from mpgan_tpu.infer.load import read_lr_frame
         sim_dir = os.path.join(cfg.data.base_path, f"sim_{sim:04d}")
-        dpath = os.path.join(sim_dir, loader.LOW_DENSITY % f)
-        if not os.path.exists(dpath):
-            return None
-        chans = [_read_uni(dpath).astype(np.float32)]
-        if cfg.data.use_velocities:
-            # macRecenter must match training (train/infer input parity)
-            vel = _read_uni(
-                os.path.join(sim_dir, loader.LOW_VELOCITY % f),
-                mac_recenter=cfg.data.mac_recenter).astype(np.float32)
-            chans.append(vel)
-            if cfg.data.use_vorticities:
-                # vorticity-trained models have 7 input channels; derive the
-                # curl exactly like the training loader does
-                chans.append(loader.vorticity(vel))
-        return np.concatenate(chans, axis=-1)
+        return read_lr_frame(cfg, sim_dir, f)
 
     def write_frame(out, hr):
         if cfg.infer.write_uni:

@@ -53,7 +53,12 @@ def main(argv=None):
     if not sock_path:
         os.makedirs(cfg.train.test_path, exist_ok=True)
         sock_path = os.path.join(cfg.train.test_path, "mpgan.sock")
-    c_in = 4 if cfg.data.use_velocities else 1
+    # must match the pass-1 stem: vorticity-trained models take 7 channels
+    c_in = 1
+    if cfg.data.use_velocities:
+        c_in += 3
+        if cfg.data.use_vorticities:
+            c_in += 3
     server = InferenceServer(upscale, sock_path, expect_channels=c_in)
     if warm_shape:
         z, y, x = (int(v) for v in warm_shape.split(","))

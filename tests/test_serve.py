@@ -124,10 +124,18 @@ def test_bad_magic_is_reported(served):
     s.close()
 
 
-def test_shutdown_is_orderly(served):
+def test_shutdown_is_orderly_with_idle_connection(served):
+    """Shutdown must not block on an idle keep-alive connection (a viewer
+    parked between frames): idle handlers poll the shutdown flag and exit
+    within ~1 s, so the process ends promptly, not after the 600 s recv
+    timeout. (This test runs LAST in file order — it stops the server.)"""
     from mpgan_tpu.serve import Client
     _, sock, proc = served
-    with Client(sock) as c:
-        c.shutdown_server()
-    assert proc.wait(timeout=60) == 0
-    assert not os.path.exists(sock)  # socket cleaned up
+    idle = Client(sock)  # connected, sends nothing
+    try:
+        with Client(sock) as c:
+            c.shutdown_server()
+        assert proc.wait(timeout=60) == 0
+        assert not os.path.exists(sock)  # socket cleaned up
+    finally:
+        idle.close()
