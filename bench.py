@@ -90,9 +90,9 @@ def main():
     }
 
     # Roofline context (VERDICT r1 weak #6): quantify "fast" against the
-    # hardware, not just the latency north-star. XLA's own cost model gives
-    # FLOPs + HBM bytes for the whole n_iters-frame program; peaks are the
-    # published v5e numbers (197 TFLOP/s bf16, 819 GB/s HBM).
+    # hardware, not just the latency north-star. XLA's cost model reports
+    # the fori_loop BODY once, i.e. per-frame numbers directly; peaks are
+    # the published v5e numbers (197 TFLOP/s bf16, 819 GB/s HBM).
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, list):

@@ -86,16 +86,24 @@ class FluidDataLoader:
         # the temporal-triplet sampler treats adjacent array indices as
         # adjacent sim frames (dt = 1), and a silently bridged gap would
         # train the temporal loss on dt=2 pairs labeled dt=1
+        # a frame counts only when EVERY file this load needs exists:
+        # datagen writes density before velocity before HR, so an interrupt
+        # can leave a frame with density but no velocity — keying on density
+        # alone would crash at decode instead of truncating here
+        patterns = [LOW_DENSITY, HIGH_DENSITY]
+        if self.use_velocities:
+            patterns.append(LOW_VELOCITY)
         frames: list[int] = []
         for f in range(self.frame_min, self.frame_max):
-            if os.path.exists(os.path.join(sim_dir, LOW_DENSITY % f)):
+            if all(os.path.exists(os.path.join(sim_dir, p % f))
+                   for p in patterns):
                 frames.append(f)
             elif frames:
                 import warnings
                 warnings.warn(
-                    f"{sim_dir}: frame {f} missing after {len(frames)} "
-                    f"contiguous frames — truncating this sim there to keep "
-                    f"temporal adjacency (dt=1) intact")
+                    f"{sim_dir}: frame {f} missing/incomplete after "
+                    f"{len(frames)} contiguous frames — truncating this sim "
+                    f"there to keep temporal adjacency (dt=1) intact")
                 break
         if self.data_fraction < 1.0 and frames:
             # contiguous prefix, NOT strided: temporal triplets assume

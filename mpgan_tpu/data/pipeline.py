@@ -567,8 +567,13 @@ class TileCreator:
             local, mesh=self._mesh,
             in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
             out_specs=P(DATA_AXIS))(arrays, self._idx(temporal), key)
-        if sub * self.n_shards != batch:
-            out = jax.tree.map(lambda x: x[:batch], out)
+        total = sub * self.n_shards
+        if total != batch:
+            # STRIDED trim, not a prefix: rows are ordered shard 0..N-1, so
+            # keeping the first `batch` rows would make small preview
+            # batches sample only the lowest-index shards' sims forever
+            step = total // batch
+            out = jax.tree.map(lambda x: x[::step][:batch], out)
         return out
 
     def sample_pass1(self, key, batch: int, temporal: bool = False,

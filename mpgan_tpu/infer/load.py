@@ -45,15 +45,25 @@ def load_generator(cfg, pass_no: int, run_idx: int, model_no: int):
         run_idx = newest
     run = ckpt.run_dir(cfg.train.test_path, run_idx)
     if model_no < 0:
-        model_no = ckpt.latest_model_no(run) or 0
+        # gen-only runs exist (scripts/import_tf1.py writes just gen_0000),
+        # so fall back to gen_%04d discovery before declaring the run empty
+        latest = ckpt.latest_model_no(run)
+        if latest is None:
+            latest = ckpt.latest_gen_no(run)
+        if latest is None:
+            raise FileNotFoundError(
+                f"no saved checkpoints in {run} (run exists but holds no "
+                f"model_%04d/gen_%04d — still training, or died "
+                f"pre-first-save?)")
+        model_no = latest
     mcfg = cfg.model
     stages = mcfg.stages
     meta_path = ckpt.model_dir(run, model_no) + ".json"
     if os.path.exists(meta_path):
         try:
-            saved_stage = json.load(open(meta_path)).get("stage")
-        except (json.JSONDecodeError, OSError):
-            saved_stage = None
+            saved_stage = int(json.load(open(meta_path)).get("stage"))
+        except (json.JSONDecodeError, OSError, TypeError, ValueError):
+            saved_stage = None  # corrupt/foreign sidecar: tolerate, use full
         if (pass_no != 3 and saved_stage is not None
                 and 1 <= saved_stage < stages):
             print(f"  {run}/gen_{model_no:04d}: mid-growth checkpoint "

@@ -118,6 +118,16 @@ def latest_model_no(run: str) -> int | None:
     return max(nos, default=None)
 
 
+def latest_gen_no(run: str) -> int | None:
+    """Newest generator-only checkpoint number (gen_%04d). Gen-only runs
+    exist: scripts/import_tf1.py writes just gen_0000."""
+    if not os.path.isdir(run):
+        return None
+    nos = [int(m.group(1)) for d in os.listdir(run)
+           if (m := re.fullmatch(r"gen_(\d{4})", d))]
+    return max(nos, default=None)
+
+
 def latest_resumable(base: str, pass_no: int | None = None,
                      min_index: int = -1) -> tuple[int, int] | None:
     """Newest (run index, model no) under ``base`` with a full checkpoint —

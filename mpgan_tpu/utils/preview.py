@@ -19,7 +19,9 @@ import os
 import numpy as np
 
 
-def _norm(img: np.ndarray, peak: float | None = None) -> np.ndarray:
+def norm_u8(img: np.ndarray, peak: float | None = None) -> np.ndarray:
+    """Normalize a float image to uint8 — the one grayscale-scaling
+    implementation (preview grids, volume slices, inference PNGs)."""
     # `is None`, not falsy: an explicit peak of 0.0 (all-zero preview batch,
     # common early in training) must keep the SHARED scale — falling back to
     # per-image maxima would render tiny noise as full brightness and break
@@ -27,6 +29,9 @@ def _norm(img: np.ndarray, peak: float | None = None) -> np.ndarray:
     if peak is None:
         peak = float(img.max())
     return np.clip(img * 255.0 / max(peak, 1e-6), 0, 255).astype(np.uint8)
+
+
+_norm = norm_u8  # internal alias
 
 
 def save_patch_grid(path: str, columns: list[np.ndarray],

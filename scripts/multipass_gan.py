@@ -528,12 +528,12 @@ def run_inference(cfg, load_test2: int, load_no2: int,
         if cfg.infer.write_png:
             from PIL import Image
 
-            from mpgan_tpu.utils.preview import _norm
+            from mpgan_tpu.utils.preview import norm_u8
             mid = hr[hr.shape[0] // 2, :, :, 0]
             png = out[:-4] + ".png"
             # atomic for the same reason as writeUni: frame_done keys on
             # this file when writeUni 0
-            Image.fromarray(_norm(mid[::-1])).save(png + ".tmp", "PNG")
+            Image.fromarray(norm_u8(mid[::-1])).save(png + ".tmp", "PNG")
             os.replace(png + ".tmp", png)
 
     def frame_done(sim, f):

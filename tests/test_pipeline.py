@@ -327,15 +327,30 @@ def test_vorticity_one_sided_at_boundaries():
 
 def test_frames_for_truncates_at_gap(tmp_path):
     """A missing frame in the middle of a sim must truncate the frame list
-    there (dt=1 adjacency for temporal triplets), not be silently skipped."""
+    there (dt=1 adjacency for temporal triplets), not be silently skipped —
+    and a frame missing ANY needed file (e.g. velocity, when the datagen
+    interrupt landed between a frame's density and velocity writes) counts
+    as missing."""
     sim = tmp_path / "sim_0000"
     sim.mkdir()
     for f in [0, 1, 2, 4, 5]:  # gap at 3
-        (sim / f"density_low_{f:04d}.uni").touch()
+        for pat in ("density_low_%04d.uni", "velocity_low_%04d.uni",
+                    "density_high_%04d.uni"):
+            (sim / (pat % f)).touch()
     ldr = FluidDataLoader(str(tmp_path), 0, 0, frame_min=0, frame_max=6)
     with pytest.warns(UserWarning, match="truncating"):
         frames = ldr._frames_for(str(sim))
     assert frames == [0, 1, 2]
+    # density present but velocity missing = incomplete frame = truncate
+    (sim / ("velocity_low_%04d.uni" % 2)).unlink()
+    with pytest.warns(UserWarning, match="truncating"):
+        frames = ldr._frames_for(str(sim))
+    assert frames == [0, 1]
+    # ... unless velocities aren't loaded at all
+    ldr_d = FluidDataLoader(str(tmp_path), 0, 0, frame_min=0, frame_max=6,
+                            use_velocities=False)
+    with pytest.warns(UserWarning, match="truncating"):
+        assert ldr_d._frames_for(str(sim)) == [0, 1, 2]
 
 
 def test_direct_sample_methods_after_shard_over():
@@ -366,12 +381,13 @@ def test_direct_sample_methods_after_shard_over():
             vals[d], (d + 1) / 10.0, atol=1e-6,
             err_msg=f"device {d} sampled foreign sims (preview path)")
 
-    # indivisible batch: trimmed to the first `batch` rows
+    # indivisible batch: STRIDED trim spreads rows across shards (a prefix
+    # trim would preview only the lowest-index shards' sims forever)
     b4 = tc.sample_pass1(jax.random.PRNGKey(1), batch=4)
     assert b4["lr"].shape[0] == 4
     v4 = np.asarray(b4["lr"][..., 0]).reshape(4, -1)
-    for d in range(4):
-        np.testing.assert_allclose(v4[d], (d + 1) / 10.0, atol=1e-6)
+    for i, d in enumerate((0, 2, 4, 6)):  # every 2nd shard
+        np.testing.assert_allclose(v4[i], (d + 1) / 10.0, atol=1e-6)
 
     # pass-2 and pass-3 previews run too (shapes + locality of hr target)
     b2 = tc.sample_pass2(jax.random.PRNGKey(2), batch=8)
