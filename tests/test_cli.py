@@ -256,3 +256,41 @@ def test_resume_from_empty_run_clear_error(workdir, tmp_path):
     assert r.returncode != 0
     assert "no saved checkpoints" in (r.stdout + r.stderr)
     assert "NoneType" not in r.stderr
+
+
+def test_retry_on_error_with_load_model_test(workdir, tmp_path):
+    """Crash recovery of a pass-1 run STARTED FROM a checkpoint
+    (load_model_test): the restart must resume the crashed continuation
+    run's own progress, not be clobbered back to the original
+    load_model_test target (which would discard everything since launch)."""
+    d = str(workdir)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MPGAN_RETRY_DELAY_S="0")
+    base_args = (f"out 0 basePath {d}/data/ fromSim 1000 toSim 1000 "
+                 "frameMax 5 upRes 4 tileSizeLow 6 useVelocities 1 "
+                 "batchSize 2 saveInterval 2 outputInterval 2 useTempoD 0 "
+                 "firstNN 1 genFilters 8 discFilters 8 genBlocks 1 "
+                 f"dtype float32 testPath {tmp_path}/runs/ randSeed 6 ")
+    # base run: test_0000, 2 iters
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multipass_gan.py")]
+        + (base_args + "trainingIters 2").split(),
+        capture_output=True, text=True, cwd=d, env=env, timeout=900)
+    assert r.returncode == 0, f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+    # continuation from test_0000 with fault injection after its first
+    # checkpoint; the supervisor must resume test_0001 (the continuation),
+    # not restart from test_0000 again
+    sentinel = str(tmp_path / "fail_once")
+    env["MPGAN_FAIL_ONCE"] = sentinel
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multipass_gan.py")]
+        + (base_args + "trainingIters 4 load_model_test 0 "
+           "retryOnError 1").split(),
+        capture_output=True, text=True, cwd=d, env=env, timeout=900)
+    assert r.returncode == 0, f"{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    assert os.path.exists(sentinel)
+    assert "retryOnError: training child died" in r.stdout
+    # the RESTARTED child resumed the continuation run, not the base run
+    last_resume = r.stdout.rstrip().split("resumed from ")[-1]
+    assert "test_0001/" in last_resume, r.stdout[-3000:]
+    # and finished the continuation budget: start_it 2 + 4 iters -> last it 5
+    assert "'it': 5" in r.stdout.split("done:")[-1], r.stdout[-2000:]
