@@ -235,7 +235,8 @@ def from_cli(argv: list[str] | None = None) -> Config:
         debug_nans=bool(g("debugNans", 0)),
     )
     infer = InferConfig(
-        output_only=bool(g("out", 0)),
+        # outputOnly is the upstream-tempoGAN spelling of `out`
+        output_only=bool(g("out", g("outputOnly", 0))),
         frame_min=g("outFrameMin", data.frame_min),
         frame_max=g("outFrameMax", data.frame_max),
         slice_chunk=g("sliceChunk", InferConfig.slice_chunk),

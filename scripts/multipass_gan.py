@@ -59,9 +59,11 @@ def main(argv=None):
                 "collectives. Supervise and relaunch the whole job "
                 "externally instead.")
         # bool(out), matching config's output_only truth (out 2 must not be
-        # supervised as training while the child runs inference)
-        sys.exit(_supervise(argv, max(retry_budget, 0), hang_timeout,
-                            infer=bool(int(ph.getParam("out", 0)))))
+        # supervised as training while the child runs inference);
+        # outputOnly is the upstream-tempoGAN spelling
+        sys.exit(_supervise(
+            argv, max(retry_budget, 0), hang_timeout,
+            infer=bool(int(ph.getParam("out", ph.getParam("outputOnly", 0))))))
     # extra flags, read before from_cli's checkUnusedParams
     # multi-host (SURVEY.md §2.15): join a jax.distributed job before any
     # backend use so the mesh below spans all hosts' devices
