@@ -19,9 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-from mpgan_tpu.utils.platform import honor_jax_platforms_env
+from mpgan_tpu.utils.platform import honor_jax_platforms_env, setup_compilation_cache
 
 honor_jax_platforms_env()  # JAX_PLATFORMS must win over sitecustomize's pin
+setup_compilation_cache()  # repeat runs skip the cold remote compile
 
 
 def main():
@@ -133,10 +134,45 @@ def _supervise() -> int:
     import subprocess
 
     env = dict(os.environ, MPGAN_BENCH_CHILD="1")
+    probe_code = (
+        "import threading,sys\n"
+        "ok=[False]\n"
+        "def p():\n"
+        "    import jax; jax.devices(); ok[0]=True\n"
+        "t=threading.Thread(target=p,daemon=True); t.start(); t.join(75)\n"
+        "sys.exit(0 if ok[0] else 1)\n")
     last_err = ""
-    for attempt in range(3):
-        if attempt:
+    # Probe failures (tunnel down/hung — the observed outage mode, lasting
+    # minutes to hours) draw on a TIME budget; full bench attempts draw on
+    # a separate COUNT budget. This way a flaky-but-up tunnel still gets at
+    # most 3 expensive attempts, while a hard outage is waited out for up
+    # to ~25 min (each probe cycle ≈ 75–120 s probe + 90 s sleep) before
+    # conceding to the labeled CPU fallback.
+    probe_deadline = time.monotonic() + float(
+        os.environ.get("MPGAN_BENCH_PROBE_WINDOW_S", "1500"))
+    full_attempts = 0
+    probe_n = 0
+    while full_attempts < 3:
+        if full_attempts or probe_n:
             time.sleep(90)
+        # cheap liveness probe first: when the tunnel HANGS a full attempt
+        # burns the whole 1800 s timeout with zero chance of success —
+        # fail the probe in ~90 s and retry until the window expires
+        probe_n += 1
+        try:
+            probe = subprocess.run([sys.executable, "-c", probe_code],
+                                   env=env, capture_output=True, timeout=120)
+        except subprocess.TimeoutExpired:
+            probe = None
+        if probe is None or probe.returncode != 0:
+            last_err = "device probe failed (tunnel down/hung)"
+            print(f"[bench] probe {probe_n}: {last_err}", file=sys.stderr)
+            if time.monotonic() >= probe_deadline:
+                print("[bench] probe window exhausted", file=sys.stderr)
+                break
+            continue
+        full_attempts += 1
+        attempt = full_attempts - 1
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

@@ -23,9 +23,10 @@ sys.path.insert(0, os.path.join(HERE, ".."))
 
 import numpy as np
 
-from mpgan_tpu.utils.platform import honor_jax_platforms_env
+from mpgan_tpu.utils.platform import honor_jax_platforms_env, setup_compilation_cache
 
 honor_jax_platforms_env()  # JAX_PLATFORMS must win over sitecustomize's pin
+setup_compilation_cache()  # repeat demo runs skip the cold compile
 
 
 def main():

@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from mpgan_tpu.utils.platform import honor_jax_platforms_env
+from mpgan_tpu.utils.platform import honor_jax_platforms_env, setup_compilation_cache
 
 honor_jax_platforms_env()  # JAX_PLATFORMS must win over sitecustomize's pin
 
@@ -32,6 +32,8 @@ def _sim_complete(sim_dir: str, frames: int, with_obstacle: bool) -> bool:
 def main(argv=None):
     if argv is not None:
         ph.setParams(argv)
+    cc = ph.getParam("compileCache", "")
+    setup_compilation_cache(cc if cc else None)
     base = ph.getParam("basePath", "data/")
     from_sim = int(ph.getParam("fromSim", 1000))
     to_sim = int(ph.getParam("toSim", from_sim))

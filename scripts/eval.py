@@ -17,7 +17,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from mpgan_tpu.utils.platform import honor_jax_platforms_env
+from mpgan_tpu.utils.platform import honor_jax_platforms_env, setup_compilation_cache
 
 honor_jax_platforms_env()  # JAX_PLATFORMS must win over sitecustomize's pin
 
@@ -29,6 +29,8 @@ from mpgan_tpu.utils import params as ph
 def main(argv=None):
     if argv is not None:
         ph.setParams(argv)
+    cc = ph.getParam("compileCache", "")
+    setup_compilation_cache(cc if cc else None)
     load_test2 = int(ph.getParam("load_model_test2", -1))
     load_no2 = int(ph.getParam("load_model_no2", -1))
     load_test3 = int(ph.getParam("load_model_test3", -1))

@@ -22,7 +22,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from mpgan_tpu.utils.platform import honor_jax_platforms_env
+from mpgan_tpu.utils.platform import honor_jax_platforms_env, setup_compilation_cache
 
 honor_jax_platforms_env()
 
@@ -32,6 +32,8 @@ from mpgan_tpu.utils import params as ph
 def main(argv=None):
     if argv is not None:
         ph.setParams(argv)
+    cc = ph.getParam("compileCache", "")
+    setup_compilation_cache(cc if cc else None)
     ckpt_path = str(ph.getParam("ckpt", ""))
     pass_no = int(ph.getParam("genPass", 1))
     name_map_path = str(ph.getParam("nameMap", ""))

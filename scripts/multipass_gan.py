@@ -23,7 +23,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from mpgan_tpu.utils.platform import honor_jax_platforms_env
+from mpgan_tpu.utils.platform import honor_jax_platforms_env, setup_compilation_cache
 
 honor_jax_platforms_env()  # JAX_PLATFORMS must win over sitecustomize's pin
 
@@ -37,6 +37,11 @@ from mpgan_tpu.utils.liveness import touch_heartbeat
 def main(argv=None):
     argv = list(sys.argv[1:]) if argv is None else argv
     ph.setParams(argv)
+    # persistent compile cache: repeat invocations with the same shapes skip
+    # the 2-10 min cold remote compile (config-only; no backend init, so the
+    # jax-free supervisor parent is unaffected)
+    cc = ph.getParam("compileCache", "")
+    setup_compilation_cache(cc if cc else None)
     # Elastic recovery (SURVEY.md §5 failure detection/recovery): with
     # retryOnError N, a parent process supervises the actual training run
     # and restarts it with resumeLatest 1 when it dies — covering Python

@@ -22,7 +22,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from mpgan_tpu.utils.platform import honor_jax_platforms_env
+from mpgan_tpu.utils.platform import honor_jax_platforms_env, setup_compilation_cache
 
 honor_jax_platforms_env()  # JAX_PLATFORMS must win over sitecustomize's pin
 
@@ -32,6 +32,8 @@ from mpgan_tpu.utils import params as ph
 def main(argv=None):
     if argv is not None:
         ph.setParams(argv)
+    cc = ph.getParam("compileCache", "")
+    setup_compilation_cache(cc if cc else None)
     sock_path = ph.getParam("sock", "")
     warm_shape = ph.getParam("warmShape", "")
     load_test2 = int(ph.getParam("load_model_test2", -1))
