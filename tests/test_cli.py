@@ -55,7 +55,10 @@ def test_datagen_skip_existing(workdir):
     assert before == after  # nothing rewritten
 
 
-def test_train_and_infer_cli(workdir):
+@pytest.fixture(scope="module")
+def trained_run(workdir):
+    """Pass-1 training into workdir/runs/test_0000 (gen_0002 checkpoint);
+    shared by the inference and eval CLI tests so each can run standalone."""
     d = str(workdir)
     out = _run("multipass_gan.py",
                f"out 0 basePath {d}/data/ fromSim 1000 toSim 1000 frameMax 5 "
@@ -63,7 +66,12 @@ def test_train_and_infer_cli(workdir):
                "batchSize 2 saveInterval 2 outputInterval 2 useTempoD 0 "
                f"firstNN 1 genFilters 8 discFilters 8 genBlocks 1 "
                f"dtype float32 testPath {d}/runs/ randSeed 3", d)
-    assert "done:" in out
+    return out
+
+
+def test_train_and_infer_cli(workdir, trained_run):
+    d = str(workdir)
+    assert "done:" in trained_run
     run0 = os.path.join(d, "runs", "test_0000")
     assert os.path.exists(os.path.join(run0, "metrics.csv"))
     assert any(f.startswith("gen_") for f in os.listdir(run0))
@@ -92,7 +100,7 @@ def test_train_and_infer_cli(workdir):
     assert "inference outputs" in out
 
 
-def test_eval_cli(workdir):
+def test_eval_cli(workdir, trained_run):
     d = str(workdir)
     out = _run("eval.py",
                f"basePath {d}/data/ fromSim 1000 toSim 1000 upRes 4 "
