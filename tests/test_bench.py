@@ -120,6 +120,22 @@ def test_outage_then_recovery_within_window(bench, monkeypatch, capsys):
     assert capsys.readouterr().out.strip() == '{"tpu": 1}'
 
 
+def test_probe_hang_counts_as_probe_failure(bench, monkeypatch, capsys):
+    """A probe child that HANGS (subprocess.run raises TimeoutExpired — the
+    sitecustomize-import hang mode) is treated like a failed probe, not a
+    crash of the supervisor."""
+    monkeypatch.setenv("MPGAN_BENCH_PROBE_WINDOW_S", "0")
+
+    def run(cmd, **kw):
+        if _is_probe(cmd):
+            raise subprocess.TimeoutExpired(cmd, kw.get("timeout", 120))
+        return FakeProc(0, '{"cpu": 1}\n')
+
+    bench._patch(run)
+    assert bench._supervise() == 0
+    assert capsys.readouterr().out.strip() == '{"cpu": 1}'
+
+
 def test_everything_fails_returns_nonzero(bench, monkeypatch):
     monkeypatch.setenv("MPGAN_BENCH_PROBE_WINDOW_S", "0")
 
