@@ -7,8 +7,10 @@
         load_model_test 0 load_model_no 4 [load_model_test2 1 load_model_no2 4] \
         testPath runs/
 
-Prints one JSON line with mean/min/max PSNR for the model and for the
-trilinear-upsampling baseline.
+Prints one JSON line with mean/min/max PSNR, mean volumetric SSIM, and the
+temporal-coherence tdiff for the model and for the trilinear-upsampling
+baseline (the reference's tooling reports PSNR only; SSIM is additive —
+adversarial outputs trade PSNR for the structure SSIM measures).
 """
 
 import json
@@ -52,7 +54,10 @@ def main(argv=None):
     upscale = make_default_upscaler(cfg, chain)
     s = cfg.data.up_res
 
+    from mpgan_tpu.utils.metrics import ssim_volume
+
     psnrs, psnrs_tri = [], []
+    ssims, ssims_tri = [], []
     tdiffs, tdiffs_gt = [], []
     for sim in range(cfg.data.from_sim, cfg.data.to_sim + 1):
         sim_dir = os.path.join(cfg.data.base_path, f"sim_{sim:04d}")
@@ -76,6 +81,8 @@ def main(argv=None):
                 jnp.asarray(d), (z * s, y * s, x * s, 1), "linear"))
             psnrs.append(assemble.psnr_volume(out, gt))
             psnrs_tri.append(assemble.psnr_volume(tri, gt))
+            ssims.append(ssim_volume(out, gt))
+            ssims_tri.append(ssim_volume(tri, gt))
             # temporal-coherence metric (tempoGAN-style T_diff): mean |d_t −
             # A(d_{t−1}; v_t)| — lower = smoother; compare model vs GT level
             if v is not None and prev_out is not None:
@@ -101,6 +108,8 @@ def main(argv=None):
         "psnr_min": round(float(np.min(psnrs)), 3),
         "psnr_max": round(float(np.max(psnrs)), 3),
         "trilinear_psnr_mean": round(float(np.mean(psnrs_tri)), 3),
+        "ssim_mean": round(float(np.mean(ssims)), 4),
+        "trilinear_ssim_mean": round(float(np.mean(ssims_tri)), 4),
         "two_pass": gen2 is not None,
         "three_pass": gen3 is not None,
     }

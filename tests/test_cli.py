@@ -111,6 +111,8 @@ def test_eval_cli(workdir, trained_run):
     assert res["frames"] == 2
     assert 0 < res["psnr_mean"] < 100
     assert "trilinear_psnr_mean" in res
+    assert 0 < res["ssim_mean"] <= 1.0
+    assert 0 < res["trilinear_ssim_mean"] <= 1.0
 
 
 def test_2d_pipeline_cli(tmp_path):
