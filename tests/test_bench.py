@@ -23,9 +23,18 @@ def bench(monkeypatch):
     spec = importlib.util.spec_from_file_location(
         "bench_under_test", os.path.join(REPO, "bench.py"))
     mod = importlib.util.module_from_spec(spec)
-    # honor_jax_platforms_env at import time is harmless (env untouched),
-    # and main() is never called here.
+    # bench.py's import-time honor_jax_platforms_env() applies the SHELL's
+    # JAX_PLATFORMS (axon on this box) to THIS pytest process — flipping the
+    # conftest CPU pin so the next in-process backend touch hangs on a down
+    # tunnel (observed: the whole suite stalling in test_infer). Neutralize
+    # both import-time hooks: no env var → honor is a no-op; cache off → no
+    # config change.
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.setenv("MPGAN_COMPILE_CACHE", "0")
     spec.loader.exec_module(mod)
+    import jax
+    assert jax.config.jax_platforms == "cpu", (
+        "bench.py import changed the test process's platform pin")
     # _supervise does `import subprocess` locally and calls module-global
     # time.sleep — patch the real modules (monkeypatch restores them).
     monkeypatch.setattr(time, "sleep", lambda s: None)
