@@ -78,8 +78,11 @@ def main():
     z, y, x, _ = d.shape
     tri = np.asarray(jax.image.resize(jnp.asarray(d), (z*up, y*up, x*up, 1),
                                       "linear"))
-    print(f"model ({name1} + {name2}): PSNR {assemble.psnr_volume(out, gt):.2f} dB")
-    print(f"trilinear baseline:      PSNR {assemble.psnr_volume(tri, gt):.2f} dB")
+    from mpgan_tpu.utils.metrics import ssim_volume
+    print(f"model ({name1} + {name2}): PSNR {assemble.psnr_volume(out, gt):.2f} dB"
+          f"  SSIM {ssim_volume(out, gt):.4f}")
+    print(f"trilinear baseline:      PSNR {assemble.psnr_volume(tri, gt):.2f} dB"
+          f"  SSIM {ssim_volume(tri, gt):.4f}")
 
     try:
         from PIL import Image
