@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from mpgan_tpu.infer import assemble
 from mpgan_tpu.io import uni
 from mpgan_tpu.models import generator as G
+from mpgan_tpu.utils import metrics
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 EXAMPLES = os.path.join(HERE, "..", "examples")
@@ -60,10 +61,16 @@ def test_4x_two_pass_bundled_psnr_floor():
                                    jnp.zeros((1, 16, 16 * up, 4))))
     d, lr, gt = _load_frame("sim_1010", 12)
     out = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=up))
+    tri_vol = _trilinear(d, up)
     psnr = assemble.psnr_volume(out, gt)
-    tri = assemble.psnr_volume(_trilinear(d, up), gt)
+    tri = assemble.psnr_volume(tri_vol, gt)
     assert psnr >= tri + 4.0, (psnr, tri)
     assert psnr >= 34.0, psnr  # measured 36.8 dB at round 2
+    # structure floor: SSIM catches blur/artifact regressions PSNR can hide
+    ssim = metrics.ssim_volume(out, gt)
+    ssim_tri = metrics.ssim_volume(tri_vol, gt)
+    assert ssim >= ssim_tri + 0.02, (ssim, ssim_tri)  # measured +0.036
+    assert ssim >= 0.985, ssim  # measured 0.9928
 
 
 def test_8x_progressive_bundled_psnr_floor():
@@ -78,10 +85,15 @@ def test_8x_progressive_bundled_psnr_floor():
                                      jnp.zeros((1, 16, 16 * up, 4))))
     d, lr, gt = _load_frame("sim_2010", 24)
     out2 = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=up))
+    tri_vol = _trilinear(d, up)
     psnr2 = assemble.psnr_volume(out2, gt)
-    tri = assemble.psnr_volume(_trilinear(d, up), gt)
+    tri = assemble.psnr_volume(tri_vol, gt)
     assert psnr2 >= tri + 2.0, (psnr2, tri)
     assert psnr2 >= 27.5, psnr2  # measured 29.3 dB at round 2
+    ssim2 = metrics.ssim_volume(out2, gt)
+    ssim_tri = metrics.ssim_volume(tri_vol, gt)
+    assert ssim2 >= ssim_tri + 0.05, (ssim2, ssim_tri)  # measured +0.091
+    assert ssim2 >= 0.94, ssim2  # measured 0.958
 
     g3 = G.make_pass3(32, 2, dtype=jnp.float32)
     p3 = _restore("g3_l18", g3.init(jax.random.PRNGKey(0),
@@ -90,3 +102,5 @@ def test_8x_progressive_bundled_psnr_floor():
                                               gen3=g3, params3=p3))
     psnr3 = assemble.psnr_volume(out3, gt)
     assert psnr3 >= psnr2 - 0.1, (psnr3, psnr2)  # measured +0.43 dB
+    ssim3 = metrics.ssim_volume(out3, gt)
+    assert ssim3 >= ssim2 - 0.005, (ssim3, ssim2)  # measured +0.0076
