@@ -148,8 +148,8 @@ def _supervise() -> int:
     # most 3 expensive attempts, while a hard outage is waited out for up
     # to ~25 min (each probe cycle ≈ 75–120 s probe + 90 s sleep) before
     # conceding to the labeled CPU fallback.
-    probe_deadline = time.monotonic() + float(
-        os.environ.get("MPGAN_BENCH_PROBE_WINDOW_S", "1500"))
+    probe_window = float(os.environ.get("MPGAN_BENCH_PROBE_WINDOW_S", "1500"))
+    probe_deadline = None  # armed at the FIRST failed probe of an outage
     full_attempts = 0
     probe_n = 0
     while full_attempts < 3:
@@ -167,10 +167,17 @@ def _supervise() -> int:
         if probe is None or probe.returncode != 0:
             last_err = "device probe failed (tunnel down/hung)"
             print(f"[bench] probe {probe_n}: {last_err}", file=sys.stderr)
+            # the window bounds one CONTIGUOUS failed-probe streak, not
+            # supervisor lifetime — a long (even timed-out) full attempt
+            # must not eat the wait budget of an outage that starts after
+            # it, so arm the deadline at the streak's FIRST failure
+            if probe_deadline is None:
+                probe_deadline = time.monotonic() + probe_window
             if time.monotonic() >= probe_deadline:
                 print("[bench] probe window exhausted", file=sys.stderr)
                 break
             continue
+        probe_deadline = None  # tunnel is up: next outage gets a full window
         full_attempts += 1
         attempt = full_attempts - 1
         try:

@@ -569,11 +569,15 @@ class TileCreator:
             out_specs=P(DATA_AXIS))(arrays, self._idx(temporal), key)
         total = sub * self.n_shards
         if total != batch:
-            # STRIDED trim, not a prefix: rows are ordered shard 0..N-1, so
-            # keeping the first `batch` rows would make small preview
-            # batches sample only the lowest-index shards' sims forever
-            step = total // batch
-            out = jax.tree.map(lambda x: x[::step][:batch], out)
+            # EVENLY-SPREAD trim, not a prefix: rows are ordered shard
+            # 0..N-1, so keeping the first `batch` rows would make small
+            # preview batches sample only the lowest-index shards' sims
+            # forever. linspace (vs a stride of total//batch, which
+            # degenerates to a prefix whenever batch > total//2) spreads
+            # the kept rows over ALL shards; spacing >= 1 guarantees the
+            # rounded indices are distinct.
+            sel = np.round(np.linspace(0, total - 1, batch)).astype(np.int32)
+            out = jax.tree.map(lambda x: x[sel], out)
         return out
 
     def sample_pass1(self, key, batch: int, temporal: bool = False,

@@ -60,14 +60,26 @@ def main(argv=None):
     paths = sorted(glob.glob(os.path.join(run_dir, pattern)))
     if not paths:
         sys.exit(f"no volumes matching {pattern!r} under {run_dir!r}")
+    # multi-sim run dirs: source_<sim>_<frame>.uni from several sims all
+    # match the default pattern and would be stitched into one animation
+    # that jumps between unrelated simulations — warn, don't guess
+    import re
+
+    stems = {re.sub(r"\d+(?=\.\w+$)", "", os.path.basename(p)) for p in paths}
+    if len(stems) > 1:
+        print(f"warning: {pattern!r} matches {len(stems)} distinct name "
+              f"groups ({sorted(stems)}); frames from different sims will "
+              "be stitched into one GIF — narrow `pattern` (e.g. "
+              "'source_1000_*.uni') to animate a single sim", file=sys.stderr)
+
+    from mpgan_tpu.utils.preview import norm_u8
+
     slices = []
     for p in paths:
         _, vol = uni.readUni(p)
         slices.append(_slice(np.asarray(vol, np.float32), axis, index))
-    peak = max(max(float(s.max()) for s in slices), 1e-6)
-    frames = [Image.fromarray(
-        np.clip(s * (255.0 / peak), 0, 255).astype(np.uint8))
-        for s in slices]
+    peak = max(float(s.max()) for s in slices)
+    frames = [Image.fromarray(norm_u8(s, peak)) for s in slices]
     frames[0].save(out_path + ".tmp", "GIF", save_all=True,
                    append_images=frames[1:],
                    duration=max(int(1000.0 / max(fps, 1e-3)), 20), loop=0)

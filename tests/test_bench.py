@@ -129,6 +129,36 @@ def test_outage_then_recovery_within_window(bench, monkeypatch, capsys):
     assert capsys.readouterr().out.strip() == '{"tpu": 1}'
 
 
+def test_probe_window_rearms_per_outage(bench, monkeypatch, capsys):
+    """The probe window bounds one CONTIGUOUS failed-probe streak. An
+    outage that begins only after a long (1800 s) failed full attempt must
+    still get the full window — a start-anchored deadline would already be
+    expired and drop straight to the CPU fallback with attempts unused."""
+    monkeypatch.setenv("MPGAN_BENCH_PROBE_WINDOW_S", "100")
+    clock = [0.0]
+    monkeypatch.setattr(time, "monotonic", lambda: clock[0])
+    seq = []
+
+    def run(cmd, **kw):
+        if _is_probe(cmd):
+            n = sum(1 for s in seq if s.startswith("probe"))
+            if n == 1:  # t=1800: the outage has just begun
+                seq.append("probe-fail")
+                return FakeProc(1)
+            seq.append("probe")  # up before the attempt / recovered after
+            return FakeProc(0)
+        seq.append("full")
+        if seq.count("full") == 1:
+            clock[0] += 1800.0  # attempt ran to its timeout, then failed
+            return FakeProc(1)
+        return FakeProc(0, '{"tpu": 2}\n')
+
+    bench._patch(run)
+    assert bench._supervise() == 0
+    assert seq == ["probe", "full", "probe-fail", "probe", "full"], seq
+    assert capsys.readouterr().out.strip() == '{"tpu": 2}'
+
+
 def test_probe_hang_counts_as_probe_failure(bench, monkeypatch, capsys):
     """A probe child that HANGS (subprocess.run raises TimeoutExpired — the
     sitecustomize-import hang mode) is treated like a failed probe, not a

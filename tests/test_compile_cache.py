@@ -20,16 +20,27 @@ from mpgan_tpu.utils.platform import setup_compilation_cache  # noqa: E402
 
 
 def test_disable_spellings(tmp_path, monkeypatch):
+    import jax
+
     monkeypatch.delenv("MPGAN_COMPILE_CACHE", raising=False)
     for off in ("0", "off", "none", ""):
         assert setup_compilation_cache(off) is None
     # env disable wins when no explicit dir is given
     monkeypatch.setenv("MPGAN_COMPILE_CACHE", "0")
     assert setup_compilation_cache() is None
-    # explicit arg beats env
-    d = tmp_path / "cc"
-    assert setup_compilation_cache(str(d)) == str(d)
-    assert d.is_dir()
+    # explicit arg beats env — restore the global jax config afterwards so
+    # later suite compiles don't silently persist executables into this
+    # test's tmp dir (same config-leak class as the platform-pin fixture)
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        d = tmp_path / "cc"
+        assert setup_compilation_cache(str(d)) == str(d)
+        assert d.is_dir()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          old_min)
 
 
 def test_unwritable_dir_is_nonfatal(monkeypatch):

@@ -381,13 +381,19 @@ def test_direct_sample_methods_after_shard_over():
             vals[d], (d + 1) / 10.0, atol=1e-6,
             err_msg=f"device {d} sampled foreign sims (preview path)")
 
-    # indivisible batch: STRIDED trim spreads rows across shards (a prefix
-    # trim would preview only the lowest-index shards' sims forever)
-    b4 = tc.sample_pass1(jax.random.PRNGKey(1), batch=4)
-    assert b4["lr"].shape[0] == 4
-    v4 = np.asarray(b4["lr"][..., 0]).reshape(4, -1)
-    for i, d in enumerate((0, 2, 4, 6)):  # every 2nd shard
-        np.testing.assert_allclose(v4[i], (d + 1) / 10.0, atol=1e-6)
+    # indivisible batch: evenly-spread trim covers low AND high shards (a
+    # prefix trim would preview only the lowest-index shards' sims forever;
+    # the earlier total//batch stride degenerated to exactly that whenever
+    # batch > total//2, e.g. batch=6 on 8 shards)
+    for batch, want in ((4, (0, 2, 5, 7)), (6, (0, 1, 3, 4, 6, 7)),
+                        (3, (0, 4, 7))):
+        b_ = tc.sample_pass1(jax.random.PRNGKey(1), batch=batch)
+        assert b_["lr"].shape[0] == batch
+        v_ = np.asarray(b_["lr"][..., 0]).reshape(batch, -1)
+        for i, d in enumerate(want):
+            np.testing.assert_allclose(
+                v_[i], (d + 1) / 10.0, atol=1e-6,
+                err_msg=f"batch={batch}: row {i} not from shard {d}")
 
     # pass-2 and pass-3 previews run too (shapes + locality of hr target)
     b2 = tc.sample_pass2(jax.random.PRNGKey(2), batch=8)
