@@ -145,9 +145,12 @@ def _supervise() -> int:
     # Probe failures (tunnel down/hung — the observed outage mode, lasting
     # minutes to hours) draw on a TIME budget; full bench attempts draw on
     # a separate COUNT budget. This way a flaky-but-up tunnel still gets at
-    # most 3 expensive attempts, while a hard outage is waited out for up
-    # to ~25 min (each probe cycle ≈ 75–120 s probe + 90 s sleep) before
-    # conceding to the labeled CPU fallback.
+    # most 3 expensive attempts, and each CONTIGUOUS failed-probe streak is
+    # waited out for up to the window (~25 min; probe cycle ≈ 75–120 s probe
+    # + 90 s sleep) before conceding. The window re-arms per streak, so on a
+    # flapping tunnel the total worst case is ~4 streaks + 3 attempt
+    # timeouts (~3 h), not 25 min — bound it harder from outside via
+    # MPGAN_BENCH_PROBE_WINDOW_S if round automation needs a tight cap.
     probe_window = float(os.environ.get("MPGAN_BENCH_PROBE_WINDOW_S", "1500"))
     probe_deadline = None  # armed at the FIRST failed probe of an outage
     full_attempts = 0

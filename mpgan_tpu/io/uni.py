@@ -201,6 +201,12 @@ def writeUni(path: str, head: dict[str, Any], arr: np.ndarray) -> None:
     os.replace(tmp, path)
 
 
+# snake_case aliases: the upstream tooling spells these camelCase
+# (readUni/writeUni); both spellings are documented in docs/MIGRATION.md
+read_uni = readUni
+write_uni = writeUni
+
+
 def write_density(path: str, dens: np.ndarray) -> None:
     """Convenience: write a (Z,Y,X) or (Z,Y,X,1) density volume."""
     if dens.ndim == 3:

@@ -18,6 +18,7 @@ the gradient psum over ICI (SURVEY.md §2.14).
 
 from __future__ import annotations
 
+import math
 import os
 import time
 from dataclasses import dataclass
@@ -249,7 +250,18 @@ def make_train_step(cfg: Config, tc: TileCreator, gen: G.Generator,
         """Lazy R1 (StyleGAN2): apply every ``r1Interval``-th D step with γ
         scaled ×interval so the effective regularization is unchanged; the
         extra backward through D is skipped on the other steps (lax.cond
-        executes one branch)."""
+        executes one branch).
+
+        discRuns > 1: every D-run within an apply step shares ``state.step``
+        (it increments once per train step), so ALL ``discRuns`` updates of
+        an apply step pay the ×interval-scaled penalty. That is the defined
+        semantics, and it preserves the time-average exactly: over k steps
+        there are k·discRuns D-updates and discRuns penalty applications of
+        0.5·γ·k each → 0.5·γ per D-update, identical to r1Interval=1 (where
+        every one of the k·discRuns updates pays 0.5·γ). The penalty is
+        burstier — concentrated on apply steps — but not stronger. Pinned by
+        tests/test_train.py::test_lazy_r1_disc_runs_matches_dense_at_apply_step.
+        """
         k = max(lcfg.r1_interval, 1)
         full = lambda: (0.5 * lcfg.r1_gamma * k *
                         losses.r1_penalty(apply_fn, x))
@@ -407,7 +419,7 @@ def measure_dispatch_pair_s(n: int = 3) -> float:
 def pick_dispatch_k(t_total_s: float, t_pair_s: float, cap: int = 64,
                     min_pair_s: float = 2e-3,
                     target_overhead: float = 0.1) -> int:
-    """Latency-aware stepsPerDispatch (VERDICT r1 #6).
+    """Latency-aware stepsPerDispatch (VERDICT r1 #6, made honest in r3).
 
     ``t_total_s`` is the measured wall time of one single-step dispatch
     including a scalar metric fetch; ``t_pair_s`` the no-op dispatch+fetch
@@ -416,20 +428,21 @@ def pick_dispatch_k(t_total_s: float, t_pair_s: float, cap: int = 64,
 
     In the remote (tunnel) regime the per-dispatch overhead of the real
     fused step is program-size-dependent and measured several-fold larger
-    than the no-op round trip (~230 ms vs ~70 ms on axon; a t_pair-based
-    formula picked K=8 → 18.5 steps/s where K=64 gave 34 steps/s on the
-    same config). Chunks are clamped to log/save boundaries by the train
-    loop anyway, so a generous K only costs an extra program shape: take
-    the cap, unless a single step is itself so slow that K=1 already meets
-    ``target_overhead`` against a pessimistic 8·t_pair dispatch cost.
+    than the no-op round trip (~230 ms vs ~70 ms on axon), so it is modeled
+    pessimistically as ``v = 8·t_pair``. K is the smallest chunk whose
+    dispatch-overhead fraction ``v / (v + K·t_step)`` is within
+    ``target_overhead`` — light steps hit the cap (measured on axon:
+    K=8 → 18.5 steps/s vs K=64 → 34 steps/s on an identical config), slow
+    steps that amortize the RPC on their own keep K=1 for finer
+    log/checkpoint granularity, and mid-latency steps land in between
+    instead of jumping to the cap.
     """
     if t_pair_s < min_pair_s:
         return 1
     t_step = max(t_total_s - t_pair_s, t_pair_s / 16.0)
-    v_pessimistic = 8.0 * t_pair_s
-    if t_step * target_overhead >= v_pessimistic:
-        return 1
-    return max(1, cap)
+    v = 8.0 * t_pair_s
+    k = math.ceil(v * (1.0 - target_overhead) / (target_overhead * t_step))
+    return max(1, min(cap, k))
 
 
 class Trainer:

@@ -326,15 +326,23 @@ def test_pick_dispatch_k():
     from mpgan_tpu.train.loop import pick_dispatch_k
     # in-process backend (tiny RPC): stay at 1 for determinism
     assert pick_dispatch_k(t_total_s=5e-3, t_pair_s=1e-4) == 1
-    # remote tunnel (axon-like 66 ms no-op pair): take the cap — the real
-    # step's dispatch overhead is several-fold the no-op pair (measured
-    # K=8 → 18.5 steps/s vs K=64 → 34 steps/s on identical configs)
+    # remote tunnel (axon-like 66 ms no-op pair), light step: take the cap —
+    # the real step's dispatch overhead is several-fold the no-op pair
+    # (measured K=8 → 18.5 steps/s vs K=64 → 34 steps/s, same config)
     assert pick_dispatch_k(t_total_s=0.094, t_pair_s=0.066) == 64
-    assert pick_dispatch_k(t_total_s=2.066, t_pair_s=0.066) == 64
     assert pick_dispatch_k(t_total_s=0.067, t_pair_s=0.066, cap=8) == 8
+    # mid-latency step (2 s compute vs 0.528 s pessimistic dispatch): the
+    # measurements are USED — smallest K whose overhead fraction meets the
+    # 10% target: v(1-f)/(f·t_step) = 0.528·0.9/(0.1·2.0) → K=3, where
+    # K=2 would be 0.528/4.528 = 11.7% > 10% and K=3 is 8.1%
+    assert pick_dispatch_k(t_total_s=2.066, t_pair_s=0.066) == 3
     # a single step slow enough to amortize even a pessimistic dispatch
     # cost on its own → keep K=1 (finer log/checkpoint granularity)
     assert pick_dispatch_k(t_total_s=10.0, t_pair_s=0.066) == 1
+    # monotone: slower steps never get a LARGER chunk
+    ks = [pick_dispatch_k(t_total_s=0.066 + t, t_pair_s=0.066)
+          for t in (0.01, 0.1, 0.5, 1.0, 2.0, 5.0, 10.0)]
+    assert ks == sorted(ks, reverse=True), ks
 
 
 def test_auto_dispatch_runs_and_reports_k():
@@ -653,6 +661,31 @@ def test_lazy_r1_scaled_gamma_matches_dense_at_apply_step():
     mk = lambda g, k: dataclasses.replace(
         base, loss=dataclasses.replace(base.loss, gan_loss="hinge",
                                        r1_gamma=g, r1_interval=k))
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    o_lazy = Trainer(mk(20.0, 2), tc).fit(iters=1, log_every=1)
+    o_dense = Trainer(mk(40.0, 1), tc).fit(iters=1, log_every=1)
+    assert abs(o_lazy["d_loss"] - o_dense["d_loss"]) < 1e-5, \
+        (o_lazy["d_loss"], o_dense["d_loss"])
+
+
+def test_lazy_r1_disc_runs_matches_dense_at_apply_step():
+    """Defined lazy-R1 × discRuns semantics (VERDICT r2 #7): all discRuns
+    D-updates of an apply step share state.step, so EVERY one pays the
+    γ·k-scaled penalty — an apply step with (γ, interval k, discRuns n)
+    must equal one with (γ·k, interval 1, discRuns n) exactly. The
+    time-average is then 0.5·γ per D-update, independent of discRuns
+    (see the _r1_term docstring in train/loop.py)."""
+    import dataclasses
+    ds = _dataset()
+    base = _config(stages=1)
+
+    def mk(g, k):
+        cfg = dataclasses.replace(
+            base, loss=dataclasses.replace(base.loss, gan_loss="hinge",
+                                           r1_gamma=g, r1_interval=k))
+        return dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, disc_runs=2))
+
     tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
     o_lazy = Trainer(mk(20.0, 2), tc).fit(iters=1, log_every=1)
     o_dense = Trainer(mk(40.0, 1), tc).fit(iters=1, log_every=1)
