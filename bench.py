@@ -8,6 +8,14 @@ frame per second (16,777,216 voxels/s on v5e-8; BASELINE.md).
 
 Prints exactly one JSON line:
   {"metric": "...", "value": N, "unit": "voxels/sec", "vs_baseline": N}
+
+MPGAN_BENCH_MODE=train switches to the TRAINING-throughput benchmark
+(VERDICT r2 missing #3): the fused adversarial train step (pass 1, b16 /
+tile16, temporal D, hinge + lazy R1 + TTUR + EMA — the documented flagship
+recipe) timed in steady state with auto stepsPerDispatch, reported as
+steps/sec (+ samples/sec + roofline fields). Same supervisor machinery;
+``bench_train.py`` is a convenience wrapper. vs_baseline is relative to the
+r2-era 18 steps/s temporal-D figure (BASELINE.md training row).
 """
 
 import json
@@ -37,8 +45,13 @@ def main():
     stages = 2
     dtype = jnp.bfloat16
 
-    g1 = G.make_pass1(stages, base_filters=32, n_res_blocks=2, dtype=dtype)
-    g2 = G.make_pass2(stages, base_filters=32, n_res_blocks=2, dtype=dtype)
+    # out_dtype=dtype: the materialized full-res volumes (pass-1 interm +
+    # final) stay bf16 on this bytes-bound path — value-identical (the
+    # values are bf16-rounded before any output cast), half the HBM traffic
+    g1 = G.make_pass1(stages, base_filters=32, n_res_blocks=2, dtype=dtype,
+                      out_dtype=dtype)
+    g2 = G.make_pass2(stages, base_filters=32, n_res_blocks=2, dtype=dtype,
+                      out_dtype=dtype)
     p1 = g1.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 4)))
     p2 = g2.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 64, 4)))
 
@@ -63,7 +76,7 @@ def main():
         def body(_, acc):
             out = assemble.upscale_volume(
                 g1, p1_, g2, p2_, lr_ + acc * 1e-30, up,  mesh=mesh)
-            return acc + jnp.mean(out)
+            return acc + jnp.mean(out, dtype=jnp.float32)
         return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
 
     compiled = chained.lower(p1, p2, lr).compile()
@@ -116,6 +129,115 @@ def main():
                 result["mfu"] = round(flops / dt / peak_flops, 5)
             if peak_bw and hbm_bytes:
                 result["hbm_bw_util"] = round(hbm_bytes / dt / peak_bw, 4)
+    except Exception:
+        pass  # cost analysis is advisory; never fail the bench over it
+
+    print(json.dumps(result))
+
+
+def main_train():
+    """Training-throughput benchmark (VERDICT r2 missing #3): steady-state
+    steps/sec of the fused jitted train step — the path half the framework's
+    value lives in, previously invisible to BENCH_r* artifacts."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from mpgan_tpu.config import (Config, DataConfig, LossConfig, ModelConfig,
+                                  TrainConfig)
+    from mpgan_tpu.data.loader import FluidDataset
+    from mpgan_tpu.data.pipeline import TileCreator
+    from mpgan_tpu.parallel import mesh as pmesh
+    from mpgan_tpu.train.loop import Trainer
+
+    fallback = bool(os.environ.get("MPGAN_BENCH_FALLBACK"))
+    up, tile, batch = 4, 16, 16
+    # dataset shape mirrors the real 4x trainings (32^3 LR sims); synthetic
+    # values — throughput does not depend on the data's content
+    z = y = x = 16 if fallback else 32  # tile16 must fit the xy planes
+    n_sims, n_frames = 2, 4
+    rng = np.random.default_rng(0)
+    lr = rng.random((n_sims * n_frames, z, y, x, 4), dtype=np.float32)
+    hr = rng.random((n_sims * n_frames, z * up, y * up, x * up, 1),
+                    dtype=np.float32)
+    ds = FluidDataset(lr=lr, hr=hr, n_sims=n_sims, n_frames=n_frames,
+                      up_res=up)
+
+    # the documented flagship recipe (BASELINE.md): hinge + R1(γ=10, lazy
+    # k=16) + TTUR + generator EMA, temporal D on, bf16 models
+    cfg = Config(
+        data=DataConfig(tile_size_low=tile, up_res=up),
+        model=ModelConfig(stages=2, dtype="bfloat16"),
+        loss=LossConfig(gan_loss="hinge", r1_gamma=10.0, r1_interval=16),
+        train=TrainConfig(batch_size=batch, use_temporal_disc=True,
+                          lr_disc=4e-4, ema_decay=0.999,
+                          save_interval=0, rand_seed=0),
+    )
+    mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
+    tc = TileCreator(ds, tile_lr=tile, density_threshold=0.0)
+    tr = Trainer(cfg, tc, mesh=mesh)
+
+    # auto-K, done explicitly so the calibration dispatches and program
+    # compiles stay OUT of the measured window (the in-loop auto would
+    # recalibrate per fit() call): warm K=1, time one K=1 dispatch, pick K
+    # with the production heuristic, warm the chunk-K program, then measure.
+    from mpgan_tpu.train.loop import measure_dispatch_pair_s, pick_dispatch_k
+    tr.cfg.train.steps_per_dispatch = 1
+    tr.fit(iters=2, log_every=1)                      # compile + warm K=1
+    t0 = time.perf_counter()
+    tr.fit(iters=3, start_it=2, log_every=1)          # one timed dispatch
+    k_disp = pick_dispatch_k(time.perf_counter() - t0,
+                             measure_dispatch_pair_s(), cap=64)
+    tr.cfg.train.steps_per_dispatch = k_disp
+    it0 = 3 + k_disp
+    tr.fit(iters=it0, start_it=3, log_every=k_disp)   # compile + warm chunk-K
+    meas = int(os.environ.get("MPGAN_BENCH_TRAIN_ITERS",
+                              "8" if fallback else "512"))
+    meas = max(k_disp, (meas // k_disp) * k_disp)     # whole chunks only
+    out = tr.fit(iters=it0 + meas, start_it=it0, log_every=meas)
+    rate = out["steps_per_sec"]
+
+    metric = ("train steps/sec, pass-1 4x GAN (b16 tile16, temporal D, "
+              "hinge + lazy R1 + TTUR + EMA, bf16)")
+    platform = jax.devices()[0].platform
+    if fallback:
+        metric += " [CPU FALLBACK - TPU tunnel unreachable; not a TPU number]"
+    result = {
+        "metric": metric,
+        "value": round(rate, 2),
+        "unit": "steps/sec",
+        # r2-era measured figure for the temporal-D training path
+        "vs_baseline": round(rate / 18.0, 4),
+        "platform": platform,
+        "samples_per_sec": round(rate * batch, 1),
+        "steps_per_dispatch": k_disp,
+    }
+
+    try:
+        # roofline on the steady-state program: lowering with the same arg
+        # shapes hits the jit cache; HloCostAnalysis costs the scan body
+        # ONCE regardless of chunk length, so flops/bytes are per train step
+        fn = tr.rt.step_stable
+        alphas = jnp.ones((k_disp,), jnp.float32)
+        ca = fn.lower(tr.rt.state, tr.rt.ema, tr._data(),
+                      jax.random.PRNGKey(0), alphas).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        hbm_bytes = float(ca.get("bytes accessed", 0.0))
+        kind = jax.devices()[0].device_kind
+        peak_flops = 197e12 if "v5 lite" in kind else None
+        peak_bw = 819e9 if "v5 lite" in kind else None
+        if flops:
+            result["model_gflops_per_step"] = round(flops / 1e9, 2)
+            if hbm_bytes:
+                result["arith_intensity_flops_per_byte"] = round(
+                    flops / hbm_bytes, 3)
+            if peak_flops:
+                result["mfu"] = round(flops * rate / peak_flops, 5)
+            if peak_bw and hbm_bytes:
+                result["hbm_bw_util"] = round(hbm_bytes * rate / peak_bw, 4)
     except Exception:
         pass  # cost analysis is advisory; never fail the bench over it
 
@@ -229,6 +351,9 @@ def _supervise() -> int:
 
 if __name__ == "__main__":
     if os.environ.get("MPGAN_BENCH_CHILD"):
-        main()
+        if os.environ.get("MPGAN_BENCH_MODE") == "train":
+            main_train()
+        else:
+            main()
     else:
         sys.exit(_supervise())

@@ -176,8 +176,11 @@ def precompute_intermediates(gen1, params1, lr_vols: jnp.ndarray,
     SURVEY.md §3.2 — G2 trains on G1 outputs)."""
     if mesh is not None:
         params1 = pmesh.replicate(params1, mesh)
-    one = partial(pass1_volume, gen1, params1, stage=stage,
-                  chunk=chunk, mesh=mesh)
+    # cast per volume INSIDE the map body: the dataset-resident stack stays
+    # f32 (training-pipeline dtype contract) without ever materializing a
+    # second full-sweep copy when the generator returns bf16 (out_dtype)
+    one = lambda v: pass1_volume(gen1, params1, v, stage=stage,
+                                 chunk=chunk, mesh=mesh).astype(jnp.float32)
     # lax.map (not a python loop + stack): the output stack is allocated
     # once and filled in place — a 480-volume sweep would otherwise hold
     # the result twice (list + stack) and exhaust HBM
@@ -191,12 +194,16 @@ def precompute_finals(gen1, params1, gen2, params2, lr_vols: jnp.ndarray,
     if mesh is not None:
         params1 = pmesh.replicate(params1, mesh)
         params2 = pmesh.replicate(params2, mesh)
-    one = partial(upscale_volume, gen1, params1, gen2, params2,
-                  up_res=up_res, chunk=chunk, mesh=mesh)
+    one = lambda v: upscale_volume(gen1, params1, gen2, params2, v,
+                                   up_res=up_res, chunk=chunk,
+                                   mesh=mesh).astype(jnp.float32)
     # single-allocation sweep — see precompute_intermediates
     return jax.jit(lambda xs: jax.lax.map(one, xs))(lr_vols)
 
 
 def psnr_volume(fake: np.ndarray, real: np.ndarray, peak: float = 1.0) -> float:
-    mse = float(np.mean((np.asarray(fake) - np.asarray(real)) ** 2))
+    # f32 casts: bf16 inputs (out_dtype models) must not accumulate in bf16
+    fake = np.asarray(fake).astype(np.float32, copy=False)
+    real = np.asarray(real).astype(np.float32, copy=False)
+    mse = float(np.mean((fake - real) ** 2))
     return float(10.0 * np.log10(peak ** 2 / max(mse, 1e-12)))

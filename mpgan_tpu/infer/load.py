@@ -80,16 +80,21 @@ def load_generator(cfg, pass_no: int, run_idx: int, model_no: int):
         c_in += 3
         if cfg.data.use_vorticities and pass_no == 1:
             c_in += 3
+    # out_dtype=dtype: bf16 models return bf16 volumes (value-identical —
+    # the values are bf16-rounded before any output cast — at half the HBM
+    # traffic and half the device→host fetch bytes on the ~1.4 MB/s tunnel);
+    # every host consumer casts to f32 at the fetch boundary
     if pass_no == 1:
         gen = G.make_pass1(stages, mcfg.n_base_filters,
-                           mcfg.n_res_blocks, dtype=dtype)
+                           mcfg.n_res_blocks, dtype=dtype, out_dtype=dtype)
         h, w = t, t
     elif pass_no == 2:
         gen = G.make_pass2(stages, mcfg.n_base_filters,
-                           mcfg.n_res_blocks, dtype=dtype)
+                           mcfg.n_res_blocks, dtype=dtype, out_dtype=dtype)
         h, w = t, t * cfg.data.up_res
     else:
-        gen = G.make_pass3(mcfg.n_base_filters, mcfg.n_res_blocks, dtype=dtype)
+        gen = G.make_pass3(mcfg.n_base_filters, mcfg.n_res_blocks, dtype=dtype,
+                           out_dtype=dtype)
         h = w = t * cfg.data.up_res
     template = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, c_in)))
     if cfg.infer.use_ema:

@@ -71,6 +71,13 @@ class Generator(nn.Module):
     out_channels: int = 1
     global_skip: bool = True
     dtype: jnp.dtype = jnp.float32
+    # output dtype; None → float32 (training default: losses/PSNR accumulate
+    # in f32). Inference sets out_dtype=dtype so a bf16 model RETURNS bf16:
+    # the full-resolution volume is the largest array on the HBM-bandwidth-
+    # bound inference path (BASELINE.md roofline), and the values are already
+    # bf16-rounded before the cast (every op above runs in self.dtype), so
+    # skipping the f32 widening is value-identical at half the bytes.
+    out_dtype: jnp.dtype | None = None
     # rematerialize residual blocks (jax.checkpoint): trades FLOPs for HBM —
     # needed when training large slices (8×/512³, SURVEY.md §7(e))
     remat: bool = False
@@ -120,28 +127,32 @@ class Generator(nn.Module):
                 fh *= a
                 fw *= b
             out = out + _upsample(dens_in, fh, fw).astype(self.dtype)
-        return out.astype(jnp.float32)
+        return out.astype(self.out_dtype or jnp.float32)
 
 
 def make_pass1(stages: int, base_filters: int = 32, n_res_blocks: int = 2,
-               dtype=jnp.float32, remat: bool = False) -> Generator:
+               dtype=jnp.float32, remat: bool = False,
+               out_dtype=None) -> Generator:
     """Pass-1 generator: isotropic in-plane 2× per stage (2^stages total)."""
     return Generator(factors=tuple((2, 2) for _ in range(stages)),
                      base_filters=base_filters, n_res_blocks=n_res_blocks,
-                     dtype=dtype, remat=remat)
+                     dtype=dtype, remat=remat, out_dtype=out_dtype)
 
 
 def make_pass2(stages: int, base_filters: int = 32, n_res_blocks: int = 2,
-               dtype=jnp.float32, remat: bool = False) -> Generator:
+               dtype=jnp.float32, remat: bool = False,
+               out_dtype=None) -> Generator:
     """Pass-2 generator: z-only (h-axis) 2× per stage; w axis already HR."""
     return Generator(factors=tuple((2, 1) for _ in range(stages)),
                      base_filters=base_filters, n_res_blocks=n_res_blocks,
-                     dtype=dtype, remat=remat)
+                     dtype=dtype, remat=remat, out_dtype=out_dtype)
 
 
 def make_pass3(base_filters: int = 32, n_res_blocks: int = 2,
-               dtype=jnp.float32, remat: bool = False) -> Generator:
+               dtype=jnp.float32, remat: bool = False,
+               out_dtype=None) -> Generator:
     """Optional pass-3 refiner: constant resolution (factors (1,1)) over yz
     slices of the full-res volume (SURVEY.md §2.7 'multi-pass')."""
     return Generator(factors=((1, 1),), base_filters=base_filters,
-                     n_res_blocks=n_res_blocks, dtype=dtype, remat=remat)
+                     n_res_blocks=n_res_blocks, dtype=dtype, remat=remat,
+                     out_dtype=out_dtype)

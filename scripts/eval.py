@@ -75,7 +75,8 @@ def main(argv=None):
             v = lr_np[..., 1:4] if cfg.data.use_velocities else None
             lr = jnp.asarray(lr_np)
             gt = _read_uni(hpath)
-            out = np.asarray(upscale(lr))
+            # widen on host: bf16 models (out_dtype) return bf16 volumes
+            out = np.asarray(upscale(lr)).astype(np.float32, copy=False)
             z, y, x, _ = d.shape
             tri = np.asarray(jax.image.resize(
                 jnp.asarray(d), (z * s, y * s, x * s, 1), "linear"))

