@@ -41,15 +41,98 @@ def plume_scene(key: jax.Array, res: int, with_obstacle: bool = False,
     return state, inflow, params
 
 
+SCENES = ("plume", "varied", "varied-dual", "moving")
+
+
+def varied_plume_scene(key: jax.Array, res: int, scene: str = "varied",
+                       pressure_solver: str = "jacobi"):
+    """Randomized scene family (SURVEY.md §2.12 'noise-seeded inflow variety',
+    '~10–20 sims'; VERDICT r2 missing #4): inflow position/radius/strength,
+    buoyancy, vorticity-confinement strength, and obstacle count/size/position
+    are all drawn per sim from ``key``, so a training sweep covers a scene
+    DISTRIBUTION instead of one fixed template.
+
+    Families:
+      varied       — randomized plume + 0–2 random static sphere obstacles
+                     (the training family)
+      varied-dual  — TWO randomized inflow spheres merging mid-domain
+                     (held-out generalization family)
+      moving       — randomized plume + one obstacle ORBITING through the
+                     plume (held-out family; time-dependent solid)
+
+    Returns ``(state, inflow_mask, params, strength, solid_at)`` where
+    ``solid_at`` is None for static scenes or a jittable ``t → (Z,Y,X,1)``
+    mask for the moving family.
+    """
+    ks = jax.random.split(key, 16)
+    u = lambda k, lo, hi: float(jax.random.uniform(k, (), minval=lo, maxval=hi))
+
+    solid = jnp.zeros((res, res, res, 1), jnp.float32)
+    solid_at = None
+    if scene == "moving":
+        ob_cy = u(ks[0], 0.40, 0.60)
+        ob_r = u(ks[1], 0.07, 0.12)
+        ob_cz = u(ks[2], 0.40, 0.60)
+        amp = u(ks[3], 0.14, 0.22)
+        phase = u(ks[4], 0.0, 6.28)
+        period = u(ks[5], 30.0, 60.0)
+
+        # obstacle geometry bound as defaults: the closure must not pick up
+        # the inflow draws below that reuse these variable names
+        def solid_at(t, cy=ob_cy, r=ob_r, cz=ob_cz):
+            # sphere_mask is jit-safe with a traced center component
+            cx = 0.5 + amp * jnp.sin(2.0 * jnp.pi * t / period + phase)
+            return smoke.sphere_mask(res, res, res, (cz, cy, cx), r)
+
+        solid = solid_at(jnp.float32(0.0))
+    else:
+        n_obs = int(jax.random.randint(ks[0], (), 0, 3))
+        for i in range(n_obs):
+            ko = jax.random.split(ks[1 + i], 4)
+            c = (u(ko[0], 0.25, 0.75), u(ko[1], 0.35, 0.70),
+                 u(ko[2], 0.25, 0.75))
+            solid = jnp.maximum(
+                solid, smoke.sphere_mask(res, res, res, c,
+                                         u(ko[3], 0.06, 0.13)))
+
+    cx = u(ks[6], 0.35, 0.65)
+    cz = u(ks[7], 0.35, 0.65)
+    rad = u(ks[8], 0.10, 0.17)
+    inflow = smoke.sphere_mask(res, res, res, (cz, 0.12, cx), rad)
+    if scene == "varied-dual":
+        cx2 = u(ks[9], 0.25, 0.75)
+        cz2 = u(ks[10], 0.25, 0.75)
+        inflow = jnp.maximum(
+            inflow, smoke.sphere_mask(res, res, res, (cz2, 0.12, cx2),
+                                      u(ks[11], 0.08, 0.14)))
+    inflow = inflow * (1.0 - solid)
+
+    params = smoke.SmokeParams(
+        dt=0.5,
+        buoyancy=u(ks[12], 0.012, 0.030),
+        vorticity_eps=u(ks[13], 0.05, 0.20),
+        jacobi_iters=50, maccormack=True, pressure_solver=pressure_solver,
+    )
+    strength = u(ks[14], 0.7, 1.3)
+    return smoke.init_state(res, res, res, solid), inflow, params, strength, \
+        solid_at
+
+
 def generate_sim(sim_dir: str, seed: int, res_hi: int, up_res: int,
                  frames: int, warmup: int = 8, with_obstacle: bool = False,
                  save_flags: bool = False,
-                 pressure_solver: str = "jacobi") -> None:
+                 pressure_solver: str = "jacobi",
+                 scene: str = "plume") -> None:
     """Run one simulation and write LR/HR .uni pairs per frame."""
     os.makedirs(sim_dir, exist_ok=True)
     key = jax.random.PRNGKey(seed)
-    state, inflow_mask, params = plume_scene(key, res_hi, with_obstacle,
-                                             pressure_solver=pressure_solver)
+    strength, solid_at = 1.0, None
+    if scene == "plume":
+        state, inflow_mask, params = plume_scene(
+            key, res_hi, with_obstacle, pressure_solver=pressure_solver)
+    else:
+        state, inflow_mask, params, strength, solid_at = varied_plume_scene(
+            key, res_hi, scene, pressure_solver=pressure_solver)
 
     # One jitted function per frame: inflow noise + solver step (+ LR
     # downsample). Running these eagerly costs an op-by-op round trip per
@@ -59,7 +142,7 @@ def generate_sim(sim_dir: str, seed: int, res_hi: int, up_res: int,
     # (HTTP 413 at dataset resolutions; CLAUDE.md).
     @jax.jit
     def frame_step(state, inflow, t):
-        src = noise.time_varying_inflow(key, inflow, t)
+        src = noise.time_varying_inflow(key, inflow, t, strength=strength)
         return smoke.step(state, params, src, inflow)
 
     @jax.jit
@@ -69,13 +152,21 @@ def generate_sim(sim_dir: str, seed: int, res_hi: int, up_res: int,
         return (downsample_3d(state.density, up_res),
                 downsample_3d(state.velocity, up_res) / up_res)
 
+    # moving-obstacle family: the solid mask is a traced arg of the solver
+    # step (part of SmokeState), so swapping it per frame costs no recompile
+    solid_fn = jax.jit(solid_at) if solid_at is not None else None
+
     inflow_mask = jnp.asarray(inflow_mask)
     t = 0
     for _ in range(warmup):
+        if solid_fn is not None:
+            state = state._replace(solid=solid_fn(jnp.float32(t)))
         state = frame_step(state, inflow_mask, t)
         t += 1
 
     for f in range(frames):
+        if solid_fn is not None:
+            state = state._replace(solid=solid_fn(jnp.float32(t)))
         state = frame_step(state, inflow_mask, t)
         t += 1
 
@@ -164,10 +255,15 @@ def with_obstacle(sim: int, obstacles_every: int) -> bool:
 
 def generate_dataset(base_path: str, from_sim: int, to_sim: int, res_hi: int,
                      up_res: int, frames: int, seed: int = 0,
-                     obstacles_every: int = 0) -> None:
-    """Generate sims ``sim_%04d`` for indices [from_sim, to_sim] inclusive."""
+                     obstacles_every: int = 0, scene: str = "plume") -> None:
+    """Generate sims ``sim_%04d`` for indices [from_sim, to_sim] inclusive.
+
+    ``scene != "plume"`` selects a randomized family (varied_plume_scene);
+    each sim draws its own scene parameters from ``seed + sim``, and flags
+    files are always written (the obstacle layout is per-sim random)."""
     for sim in range(from_sim, to_sim + 1):
-        with_obs = with_obstacle(sim, obstacles_every)
+        with_obs = scene == "plume" and with_obstacle(sim, obstacles_every)
         sim_dir = os.path.join(base_path, f"sim_{sim:04d}")
         generate_sim(sim_dir, seed + sim, res_hi, up_res, frames,
-                     with_obstacle=with_obs, save_flags=with_obs)
+                     with_obstacle=with_obs,
+                     save_flags=with_obs or scene != "plume", scene=scene)

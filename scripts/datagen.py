@@ -45,6 +45,10 @@ def main(argv=None):
     warmup = int(ph.getParam("warmup", 8))
     data_dim = int(ph.getParam("dataDim", 3))     # 2 → (1, Y, X) scenes
     psolver = ph.getParam("pressureSolver", "jacobi")  # jacobi | cg
+    # scene family: plume (fixed template) | varied (randomized training
+    # family) | varied-dual / moving (held-out generalization families) —
+    # see solver/datagen.varied_plume_scene
+    scene = ph.getParam("scene", "plume")
     # restartable sweeps: skip sims whose output is already complete (.uni
     # writes are atomic, so an existing final frame implies a finished sim)
     skip_existing = int(ph.getParam("skipExisting", 0))
@@ -53,14 +57,19 @@ def main(argv=None):
         sys.exit(f"pressureSolver must be jacobi or cg, got {psolver!r}")
 
     from mpgan_tpu.solver import datagen
+    if scene not in datagen.SCENES:
+        sys.exit(f"scene must be one of {datagen.SCENES}, got {scene!r}")
+    if scene != "plume" and data_dim == 2:
+        sys.exit("randomized scene families are 3D only (dataDim 3)")
     import time
     for sim in range(from_sim, to_sim + 1):
         # keyed on sim id (shared helper) so resumed sweeps are range-stable
-        with_obs = datagen.with_obstacle(sim, obstacles)
+        with_obs = scene == "plume" and datagen.with_obstacle(sim, obstacles)
+        save_flags = with_obs or scene != "plume"
         sim_dir = os.path.join(base, f"sim_{sim:04d}")
         # 2D scenes never write flags files, even with obstacles
         if skip_existing and _sim_complete(sim_dir, frames,
-                                           with_obs and data_dim != 2):
+                                           save_flags and data_dim != 2):
             print(f"sim_{sim:04d}: complete ({frames} frames) — skipped")
             continue
         t0 = time.time()
@@ -72,9 +81,11 @@ def main(argv=None):
         else:
             datagen.generate_sim(sim_dir, seed + sim, res_hi, up_res, frames,
                                  warmup=warmup, with_obstacle=with_obs,
-                                 save_flags=with_obs, pressure_solver=psolver)
+                                 save_flags=save_flags,
+                                 pressure_solver=psolver, scene=scene)
         print(f"sim_{sim:04d}: {frames} frames @{res_hi}^{data_dim} "
-              f"(obstacle={with_obs}) in {time.time()-t0:.1f}s -> {sim_dir}")
+              f"(scene={scene}, obstacle={with_obs}) "
+              f"in {time.time()-t0:.1f}s -> {sim_dir}")
 
 
 if __name__ == "__main__":

@@ -216,3 +216,56 @@ def test_flags_file_uses_mantaflow_encoding(tmp_path):
     assert head["gridType"] == uni.TYPE_FLAGS
     vals = set(np.unique(flags).tolist())
     assert vals == {1, 2}, vals  # fluid=1, obstacle=2, nothing else
+
+
+def test_varied_scene_randomizes_per_seed():
+    """The varied family must actually vary: two seeds give different inflow
+    geometry and physics parameters (VERDICT r2 missing #4)."""
+    a = datagen.varied_plume_scene(jax.random.PRNGKey(1), 16)
+    b = datagen.varied_plume_scene(jax.random.PRNGKey(2), 16)
+    (_, inf_a, par_a, str_a, _), (_, inf_b, par_b, str_b, _) = a, b
+    assert par_a.buoyancy != par_b.buoyancy
+    assert par_a.vorticity_eps != par_b.vorticity_eps
+    assert str_a != str_b
+    assert not np.array_equal(np.asarray(inf_a), np.asarray(inf_b))
+    # same seed → identical scene (restartable sweeps depend on this)
+    a2 = datagen.varied_plume_scene(jax.random.PRNGKey(1), 16)
+    assert a2[2].buoyancy == par_a.buoyancy
+    np.testing.assert_array_equal(np.asarray(a2[1]), np.asarray(inf_a))
+
+
+def test_dual_inflow_scene_has_more_source():
+    """varied-dual adds a second inflow sphere — strictly more source cells
+    than the same seed's single-inflow scene."""
+    _, inf1, _, _, _ = datagen.varied_plume_scene(jax.random.PRNGKey(3), 24)
+    _, inf2, _, _, _ = datagen.varied_plume_scene(jax.random.PRNGKey(3), 24,
+                                                  scene="varied-dual")
+    assert float(inf2.sum()) > float(inf1.sum())
+
+
+def test_moving_scene_solid_orbits():
+    """The moving family's solid mask is time-dependent and stays the same
+    size (a translated sphere, not a deformed one)."""
+    state, _, _, _, solid_at = datagen.varied_plume_scene(
+        jax.random.PRNGKey(4), 24, scene="moving")
+    assert solid_at is not None
+    s0 = np.asarray(solid_at(jnp.float32(0.0)))
+    s10 = np.asarray(solid_at(jnp.float32(10.0)))
+    assert not np.array_equal(s0, s10)
+    assert abs(s0.sum() - s10.sum()) / max(s0.sum(), 1.0) < 0.25
+    np.testing.assert_array_equal(np.asarray(state.solid), s0)
+
+
+def test_generate_sim_moving_scene_writes_frames(tmp_path):
+    """End-to-end moving-obstacle sim: files exist, smoke is present, and the
+    per-frame flags files track the orbiting obstacle."""
+    sim_dir = str(tmp_path / "sim_3020")
+    datagen.generate_sim(sim_dir, seed=7, res_hi=24, up_res=4, frames=3,
+                         warmup=2, save_flags=True, scene="moving")
+    _, d = uni.readUni(os.path.join(sim_dir, "density_high_0002.uni"))
+    assert d.shape == (24, 24, 24, 1) and np.isfinite(d).all()
+    assert d.max() > 0.05
+    _, f0 = uni.readUni(os.path.join(sim_dir, "flags_0000.uni"))
+    _, f2 = uni.readUni(os.path.join(sim_dir, "flags_0002.uni"))
+    assert set(np.unique(f0)) <= {1, 2} and (f0 == 2).any()
+    assert not np.array_equal(f0, f2)  # the obstacle moved
