@@ -12,6 +12,13 @@
 #
 # Checkpoint run/model numbers below are the round-2 runs on this box; when
 # retraining, update them to match `testPath` contents.
+#
+# r3 NOTE: the .data/.data8 scratch (datasets + all r2 run dirs) was wiped
+# between rounds — these rows need their datasets regenerated and configs
+# retrained before they reproduce (numbers preserved in BASELINE.md).
+# The r3 diverse-scene + OOD-generalization table is produced by
+# scripts/diverse_recipe.sh (restartable end-to-end: datagen → two-pass L1
+# training → ID/OOD holdout evals).
 set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-.data/canonical_eval.jsonl}

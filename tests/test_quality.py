@@ -73,6 +73,29 @@ def test_4x_two_pass_bundled_psnr_floor():
     assert ssim >= 0.985, ssim  # measured 0.9928
 
 
+def test_4x_diverse_model_ood_generalization_floor():
+    """Generalization gate (VERDICT r2 missing #4): the two-pass pair trained
+    on the RANDOMIZED 'varied' scene family (scripts/diverse_recipe.sh) must
+    beat trilinear on a bundled frame from the held-out 'moving' family —
+    an orbiting obstacle, a scene kind training never produced."""
+    up, stages = 4, 2
+    g1 = G.make_pass1(stages, 32, 2, dtype=jnp.float32)
+    g2 = G.make_pass2(stages, 32, 2, dtype=jnp.float32)
+    p1 = _restore("g1_div", g1.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 12, 12, 4))))
+    p2 = _restore("g2_div", g2.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 12, 12 * up, 4))))
+    d, lr, gt = _load_frame("sim_3020", 30)
+    out = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=up))
+    tri_vol = _trilinear(d, up)
+    psnr = assemble.psnr_volume(out, gt)
+    tri = assemble.psnr_volume(tri_vol, gt)
+    assert psnr >= tri + 2.0, (psnr, tri)
+    ssim = metrics.ssim_volume(out, gt)
+    ssim_tri = metrics.ssim_volume(tri_vol, gt)
+    assert ssim >= ssim_tri, (ssim, ssim_tri)
+
+
 def test_8x_progressive_bundled_psnr_floor():
     """From-scratch progressive-GAN pair at 8x, plus the L1 yz refiner
     (pass 3) which must not hurt two-pass quality."""
