@@ -139,8 +139,6 @@ def main_train():
     """Training-throughput benchmark (VERDICT r2 missing #3): steady-state
     steps/sec of the fused jitted train step — the path half the framework's
     value lives in, previously invisible to BENCH_r* artifacts."""
-    import dataclasses
-
     import jax
     import jax.numpy as jnp
 
@@ -178,20 +176,24 @@ def main_train():
     tc = TileCreator(ds, tile_lr=tile, density_threshold=0.0)
     tr = Trainer(cfg, tc, mesh=mesh)
 
-    # auto-K, done explicitly so the calibration dispatches and program
-    # compiles stay OUT of the measured window (the in-loop auto would
-    # recalibrate per fit() call): warm K=1, time one K=1 dispatch, pick K
-    # with the production heuristic, warm the chunk-K program, then measure.
-    from mpgan_tpu.train.loop import measure_dispatch_pair_s, pick_dispatch_k
+    # K comes from the PRODUCTION in-loop auto calibration (one short auto
+    # fit: compile scan-1, time a clean scan-1 dispatch the same way the
+    # train loop does, pick K) so the bench measures the dispatch
+    # granularity real training uses. All compiles and the calibration stay
+    # OUT of the measured window, and every phase ends on a multiple of
+    # k_disp so the warm fit compiles exactly the scan-K program the
+    # measured fit re-runs (fit clamps chunks to absolute log_every
+    # boundaries — an unaligned start would split chunks into never-again-
+    # used scan lengths and push the scan-K compile into the timed fit).
+    tr.cfg.train.steps_per_dispatch = 0               # in-loop auto
+    cal = tr.fit(iters=3, log_every=64)               # scan-1 compile + cal
+    k_disp = int(cal["steps_per_dispatch"])
+    pad = ((3 + k_disp - 1) // k_disp) * k_disp       # aligned boundary >= 3
     tr.cfg.train.steps_per_dispatch = 1
-    tr.fit(iters=2, log_every=1)                      # compile + warm K=1
-    t0 = time.perf_counter()
-    tr.fit(iters=3, start_it=2, log_every=1)          # one timed dispatch
-    k_disp = pick_dispatch_k(time.perf_counter() - t0,
-                             measure_dispatch_pair_s(), cap=64)
+    tr.fit(iters=pad, start_it=3, log_every=1)        # pad at (warm) scan-1
     tr.cfg.train.steps_per_dispatch = k_disp
-    it0 = 3 + k_disp
-    tr.fit(iters=it0, start_it=3, log_every=k_disp)   # compile + warm chunk-K
+    it0 = pad + k_disp
+    tr.fit(iters=it0, start_it=pad, log_every=k_disp)  # compile+warm scan-K
     meas = int(os.environ.get("MPGAN_BENCH_TRAIN_ITERS",
                               "8" if fallback else "512"))
     meas = max(k_disp, (meas // k_disp) * k_disp)     # whole chunks only

@@ -105,8 +105,9 @@ class TrainConfig:
     data_axis: str = "data"
     steps_per_dispatch: int = 0   # lax.scan'd steps per device program call;
     # 0 = auto: measure the dispatch RPC latency at startup and pick the
-    # smallest power-of-two K keeping dispatch overhead <10% (loop.py
-    # pick_dispatch_k). In-process backends (CPU tests) calibrate to K=1.
+    # smallest K (any integer, capped at 64) keeping dispatch overhead
+    # <10% (loop.py pick_dispatch_k). In-process backends (CPU tests)
+    # calibrate to K=1.
     # observability (SURVEY.md §5: tracing / failure detection)
     profile_dir: str = ""         # jax.profiler trace output dir ("" = off)
     debug_nans: bool = False      # jax debug_nans for fast failure detection

@@ -72,7 +72,14 @@ def downsample_axis(vol: jnp.ndarray, factor: int, axis: int,
 
     This is THE blur/box-average implementation; the 2D/3D variants below
     are per-axis compositions (separable blur and per-axis box means act on
-    distinct axes, so they commute)."""
+    distinct axes, so they commute).
+
+    ``factor=1`` is the identity (unless an explicit ``blur_sigma`` asks
+    for a pure blur): datagen with ``upRes 1`` must write LR fields equal
+    to the solver's own — the 1024³ demo feeds those to an 8× model — and
+    the default σ=factor/2 would silently smear them."""
+    if factor == 1 and blur_sigma is None:
+        return vol
     if blur_sigma is None:
         blur_sigma = factor / 2.0
     vol = gaussian_blur_nd(vol, blur_sigma, axes=(axis,))

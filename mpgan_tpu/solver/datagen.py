@@ -253,6 +253,17 @@ def with_obstacle(sim: int, obstacles_every: int) -> bool:
     return obstacles_every > 0 and sim % obstacles_every == obstacles_every - 1
 
 
+def sim_scene_policy(scene: str, sim: int,
+                     obstacles_every: int) -> tuple[bool, bool]:
+    """(with_obstacle, save_flags) for one sim — THE per-sim scene policy,
+    shared by generate_dataset and scripts/datagen.py so the CLI's
+    skip-existing check and the library sweep can never disagree on which
+    files a sim directory must contain. Randomized (non-plume) families
+    always write flags (their obstacle layout is per-sim random)."""
+    with_obs = scene == "plume" and with_obstacle(sim, obstacles_every)
+    return with_obs, with_obs or scene != "plume"
+
+
 def generate_dataset(base_path: str, from_sim: int, to_sim: int, res_hi: int,
                      up_res: int, frames: int, seed: int = 0,
                      obstacles_every: int = 0, scene: str = "plume") -> None:
@@ -262,8 +273,8 @@ def generate_dataset(base_path: str, from_sim: int, to_sim: int, res_hi: int,
     each sim draws its own scene parameters from ``seed + sim``, and flags
     files are always written (the obstacle layout is per-sim random)."""
     for sim in range(from_sim, to_sim + 1):
-        with_obs = scene == "plume" and with_obstacle(sim, obstacles_every)
+        with_obs, save_flags = sim_scene_policy(scene, sim, obstacles_every)
         sim_dir = os.path.join(base_path, f"sim_{sim:04d}")
         generate_sim(sim_dir, seed + sim, res_hi, up_res, frames,
                      with_obstacle=with_obs,
-                     save_flags=with_obs or scene != "plume", scene=scene)
+                     save_flags=save_flags, scene=scene)

@@ -63,9 +63,8 @@ def main(argv=None):
         sys.exit("randomized scene families are 3D only (dataDim 3)")
     import time
     for sim in range(from_sim, to_sim + 1):
-        # keyed on sim id (shared helper) so resumed sweeps are range-stable
-        with_obs = scene == "plume" and datagen.with_obstacle(sim, obstacles)
-        save_flags = with_obs or scene != "plume"
+        # keyed on sim id (shared policy) so resumed sweeps are range-stable
+        with_obs, save_flags = datagen.sim_scene_policy(scene, sim, obstacles)
         sim_dir = os.path.join(base, f"sim_{sim:04d}")
         # 2D scenes never write flags files, even with obstacles
         if skip_existing and _sim_complete(sim_dir, frames,

@@ -19,10 +19,17 @@ $GEN fromSim 3000 toSim 3008 scene varied
 $GEN fromSim 3020 toSim 3020 scene moving
 $GEN fromSim 3021 toSim 3021 scene varied-dual
 
+# resumeLatest 1 makes each stage restartable ACROSS script reruns (not
+# just within one supervisor's retry budget): latest_resumable is pass-
+# aware (sidecar pass_no), so a rerun resumes pass-1 into test_0000 /
+# pass-2 into test_0001 instead of allocating fresh run dirs and breaking
+# the eval's pinned test 0/1 indices. A completed stage resumes, sees its
+# budget done, and exits cleanly.
 T="python scripts/multipass_gan.py out 0 basePath $B fromSim 3000 toSim 3007 \
    frameMin 0 frameMax 48 upRes 4 tileSizeLow 12 useVelocities 1 \
    batchSize 16 useTempoD 0 kAdv 0 kt 0 kf 0 testPath ${B}runs/ randSeed 42 \
-   saveInterval 4000 outputInterval 1000 retryOnError 2 hangTimeout 600"
+   saveInterval 4000 outputInterval 1000 retryOnError 6 hangTimeout 600 \
+   resumeLatest 1"
 # pass 1 (xy SR), pure L1            -> ${B}runs/test_0000
 $T firstNN 1 trainingIters 12000
 # pass 2 (z refinement) on frozen G1 -> ${B}runs/test_0001

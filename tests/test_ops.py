@@ -111,6 +111,20 @@ def test_downsample_then_constant_preserved():
     np.testing.assert_allclose(np.asarray(lr), 3.5, rtol=1e-5)
 
 
+def test_downsample_factor1_is_identity():
+    """factor=1 must be a no-op (not a σ=0.5 blur): datagen upRes 1 promises
+    density_low == the solver's own fields (the 1024³ demo's input path).
+    An explicit blur_sigma still blurs."""
+    rng = np.random.default_rng(11)
+    vol = jnp.asarray(rng.random((6, 7, 5, 2), dtype=np.float32))
+    np.testing.assert_array_equal(np.asarray(resample.downsample_3d(vol, 1)),
+                                  np.asarray(vol))
+    np.testing.assert_array_equal(
+        np.asarray(resample.downsample_axis(vol, 1, axis=0)), np.asarray(vol))
+    blurred = resample.downsample_axis(vol, 1, axis=1, blur_sigma=1.0)
+    assert not np.array_equal(np.asarray(blurred), np.asarray(vol))
+
+
 def test_downsample_mass_conservation():
     """Box-averaging after blur preserves the mean (blur edge effects small)."""
     rng = np.random.default_rng(8)
