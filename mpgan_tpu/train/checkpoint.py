@@ -14,6 +14,7 @@ import dataclasses
 import json
 import os
 import re
+import shutil
 from typing import Any
 
 import jax
@@ -83,8 +84,19 @@ def save(run: str, no: int, state: Any, meta: dict) -> str:
 
     Multi-process jobs must call this from EVERY process — orbax
     checkpointers are collective (internal sync barriers; the primary does
-    the writing). Only the JSON sidecar is written lead-only here."""
+    the writing). Only the JSON sidecar is written lead-only here.
+
+    Overwrite-safe: in-place crash recovery (resumeLatest) can legitimately
+    re-save a number whose dir was left behind by a kill mid-write (such a
+    dir has no valid ``.json`` sidecar, so latest_resumable skipped it) —
+    orbax would refuse the existing path, so clear it first."""
     path = os.path.abspath(model_dir(run, no))
+    if os.path.exists(path):
+        if jax.process_index() == 0:
+            shutil.rmtree(path)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"rm_model_{no:04d}")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.tree.map(host_leaf, _as_pytree(state)))
     ckptr.wait_until_finished()
@@ -172,8 +184,17 @@ def latest_resumable(base: str, pass_no: int | None = None,
 
 def save_gen(run: str, no: int, params_g: Any, prefix: str = "gen") -> str:
     """Generator-only checkpoint ``gen_%04d`` (cheap inference restore).
-    ``prefix="gen_ema"`` stores the EMA generator alongside."""
+    ``prefix="gen_ema"`` stores the EMA generator alongside.
+
+    Overwrite-safe for the same reason as ``save``: in-place recovery can
+    re-save a number a killed run completed without its model sidecar."""
     path = os.path.abspath(os.path.join(run, f"{prefix}_{no:04d}"))
+    if os.path.exists(path):
+        if jax.process_index() == 0:
+            shutil.rmtree(path)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"rm_{prefix}_{no:04d}")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.tree.map(host_leaf, params_g))
     ckptr.wait_until_finished()
@@ -188,13 +209,62 @@ def restore_gen(run: str, no: int, template_params: Any,
     return ckptr.restore(path, abstract)
 
 
-def save_param_log(run: str, cfg: Any, argv: list[str] | None = None) -> None:
-    """Reference-style param log copied into the run dir."""
+def save_param_log(run: str, cfg: Any, argv: list[str] | None = None,
+                   pass_no: int | None = None) -> None:
+    """Reference-style param log copied into the run dir. ``pass_no`` marks
+    which training pass owns the dir — crash recovery keys on it when the
+    run died before its first checkpoint (recover_run_dir)."""
+    log: dict = {"argv": argv or [], "config": dataclasses.asdict(cfg)}
+    if pass_no is not None:
+        log["pass_no"] = int(pass_no)
     with open(os.path.join(run, "params.json"), "w") as f:
-        json.dump({
-            "argv": argv or [],
-            "config": dataclasses.asdict(cfg),
-        }, f, indent=1, default=str)
+        json.dump(log, f, indent=1, default=str)
+
+
+def run_pass_no(run: str) -> int | None:
+    """Training pass recorded in a run dir's params.json (None when the dir
+    predates the pass_no field, or the file is missing/corrupt)."""
+    try:
+        with open(os.path.join(run, "params.json")) as f:
+            v = json.load(f).get("pass_no")
+        return int(v) if v is not None else None
+    except (OSError, json.JSONDecodeError, TypeError, ValueError):
+        return None
+
+
+def recover_run_dir(base: str, pass_no: int,
+                    min_index: int = -1) -> str | None:
+    """Run dir to REUSE for a crash-recovery FRESH start (resumeLatest found
+    no checkpoint): the newest ``test_%04d`` iff it records the same pass in
+    params.json and holds no model/gen checkpoints — i.e. it is the dead
+    run, killed before its first save. Restarting into it keeps pinned run
+    indices stable (a multi-stage recipe that evaluates "pass 1 = test 0,
+    pass 2 = test 1" must not have a pre-first-save crash shift every later
+    index). Only the newest dir is considered — recovery must never
+    resurrect unrelated older dirs — and ``min_index`` scopes it to dirs
+    this launch created (the retryOnError supervisor's contract). Returns
+    None when the newest dir doesn't qualify (allocate a fresh one).
+
+    Multi-process: process 0 decides, the index is broadcast (same contract
+    as next_run_dir)."""
+    def _local() -> int:
+        idx = latest_run_idx(base)
+        if idx is None or (min_index >= 0 and idx < min_index):
+            return -1
+        run = run_dir(base, idx)
+        if (run_pass_no(run) == pass_no and latest_model_no(run) is None
+                and latest_gen_no(run) is None):
+            return idx
+        return -1
+
+    if jax.process_count() > 1:
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+        idx = _local() if jax.process_index() == 0 else -1
+        idx = int(multihost_utils.broadcast_one_to_all(jnp.int32(idx)))
+    else:
+        idx = _local()
+    return run_dir(base, idx) if idx >= 0 else None
 
 
 def _as_pytree(state: Any) -> Any:

@@ -20,15 +20,17 @@ $GEN fromSim 3020 toSim 3020 scene moving
 $GEN fromSim 3021 toSim 3021 scene varied-dual
 
 # resumeLatest 1 makes each stage restartable ACROSS script reruns (not
-# just within one supervisor's retry budget): latest_resumable is pass-
-# aware (sidecar pass_no), so a rerun resumes pass-1 into test_0000 /
-# pass-2 into test_0001 instead of allocating fresh run dirs and breaking
-# the eval's pinned test 0/1 indices. A completed stage resumes, sees its
-# budget done, and exits cleanly.
+# just within one supervisor's retry budget): recovery is run-dir-stable —
+# a rerun resumes pass-1 IN test_0000 / pass-2 IN test_0001 (latest_resumable
+# is pass-aware via the model sidecar's pass_no; a crash BEFORE the first
+# save restarts from scratch into the dead dir via params.json's pass_no,
+# ckpt.recover_run_dir) — so the eval's pinned test 0/1 indices always hold.
+# A completed stage resumes, sees its budget done, and exits without writing
+# a duplicate checkpoint.
 T="python scripts/multipass_gan.py out 0 basePath $B fromSim 3000 toSim 3007 \
    frameMin 0 frameMax 48 upRes 4 tileSizeLow 12 useVelocities 1 \
    batchSize 16 useTempoD 0 kAdv 0 kt 0 kf 0 testPath ${B}runs/ randSeed 42 \
-   saveInterval 4000 outputInterval 1000 retryOnError 6 hangTimeout 600 \
+   saveInterval 2000 outputInterval 1000 retryOnError 6 hangTimeout 600 \
    resumeLatest 1"
 # pass 1 (xy SR), pure L1            -> ${B}runs/test_0000
 $T firstNN 1 trainingIters 12000

@@ -110,6 +110,7 @@ def main(argv=None):
         # (MPGAN_RESUME_MIN): an unrelated older run under the same testPath
         # must never hijack crash recovery
         resume_min = int(os.environ.get("MPGAN_RESUME_MIN", "-1"))
+        run_override = None
         if resume_latest and (resume_test < 0 or resume_min >= 0):
             from mpgan_tpu.train import checkpoint as ckpt
             pno = train_pass if train_pass else (
@@ -119,16 +120,30 @@ def main(argv=None):
             if found is not None:
                 resume_test, resume_no = found
                 resume_total = True  # recovery completes the original budget
+                # recovery continues IN the found run dir (checkpoints and
+                # metrics keep accumulating there): restarts must not shift
+                # run indices a recipe's later stages/evals have pinned
+                run_override = ckpt.run_dir(cfg.train.test_path, resume_test)
                 print(f"resumeLatest: test_{resume_test:04d}/"
                       f"model_{resume_no:04d}")
             elif resume_test >= 0:
                 print(f"resumeLatest: no in-scope checkpoint — honoring "
                       f"explicit resumeTest {resume_test}")
             else:
-                print("resumeLatest: no prior checkpoint — fresh start")
+                # crash BEFORE the first save: restart from scratch INTO the
+                # dead run dir (same pass, zero checkpoints) when one exists
+                run_override = ckpt.recover_run_dir(
+                    cfg.train.test_path, pno, min_index=resume_min)
+                if run_override is not None:
+                    print("resumeLatest: no prior checkpoint — fresh start "
+                          f"reusing {os.path.basename(run_override)} "
+                          "(died before its first save)")
+                else:
+                    print("resumeLatest: no prior checkpoint — fresh start")
         run_training(cfg, argv, pass2_source, resume_test, resume_no,
                      warm_test, warm_no, train_pass, pass3_source,
-                     load_test2, load_no2, resume_total=resume_total)
+                     load_test2, load_no2, resume_total=resume_total,
+                     run_override=run_override)
 
 
 def _strip_flag(argv, name):
@@ -289,7 +304,8 @@ def run_training(cfg, argv, pass2_source: str = "gt",
                  warm_test: int = -1, warm_no: int = -1,
                  train_pass: int = 0, pass3_source: str = "gt",
                  load_test2: int = -1, load_no2: int = -1,
-                 resume_total: bool = False):
+                 resume_total: bool = False,
+                 run_override: str | None = None):
     import jax
     import jax.numpy as jnp
     from mpgan_tpu.data.loader import FluidDataLoader
@@ -338,9 +354,11 @@ def run_training(cfg, argv, pass2_source: str = "gt",
     # all file output below is lead-gated so hosts sharing a filesystem
     # don't clobber each other's metrics/checkpoints
     lead = jax.process_index() == 0
-    run = ckpt.next_run_dir(cfg.train.test_path)
+    # run_override: crash recovery (resumeLatest) continues in the dead
+    # run's own dir instead of allocating the next index — see main()
+    run = run_override or ckpt.next_run_dir(cfg.train.test_path)
     if lead:
-        ckpt.save_param_log(run, cfg, argv)
+        ckpt.save_param_log(run, cfg, argv, pass_no=pass_no)
     print(f"run dir: {run}; devices: {len(jax.devices())} "
           f"({jax.default_backend()}); pass {pass_no}")
 
@@ -461,6 +479,14 @@ def run_training(cfg, argv, pass2_source: str = "gt",
     # decides (per-host listings could disagree on non-shared filesystems,
     # and orbax's collective save needs all processes on one path)
     latest = ckpt.latest_model_no(run)
+    if not last and latest is not None:
+        # zero iterations ran (the budget was already complete when we
+        # resumed) and the dir already holds this exact state — saving again
+        # would only write a duplicate checkpoint
+        print(f"budget already complete (model_{latest:04d}); no new "
+              "checkpoint")
+        print(f"done: {last}")
+        return run
     no = latest + 1 if latest is not None else 0  # NOT `or`: 0 is a real no
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils

@@ -249,6 +249,64 @@ def test_retry_on_error_inference_recovery(workdir, tmp_path):
     assert np.isfinite(vol).all()
 
 
+def test_resume_latest_fresh_start_reuses_dead_run_dir(workdir, tmp_path):
+    """A crash BEFORE the first checkpoint must not shift run indices: a
+    resumeLatest rerun that finds no checkpoint restarts from scratch INTO
+    the newest same-pass run dir when it holds none (the dead run), instead
+    of allocating the next index — multi-stage recipes pin 'pass 1 = test 0,
+    pass 2 = test 1' for their eval steps."""
+    d = str(workdir)
+    tp = tmp_path / "runs"
+    dead = tp / "test_0000"
+    dead.mkdir(parents=True)
+    (dead / "params.json").write_text(
+        '{"argv": [], "config": {}, "pass_no": 1}')
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    args = (f"out 0 basePath {d}/data/ fromSim 1000 toSim 1000 frameMax 5 "
+            "upRes 4 tileSizeLow 6 useVelocities 1 trainingIters 2 "
+            "batchSize 2 saveInterval 0 outputInterval 2 useTempoD 0 "
+            "firstNN 1 genFilters 8 discFilters 8 genBlocks 1 dtype float32 "
+            f"testPath {tp}/ randSeed 5 resumeLatest 1")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multipass_gan.py")]
+        + args.split(),
+        capture_output=True, text=True, cwd=d, env=env, timeout=900)
+    assert r.returncode == 0, f"{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    assert "fresh start reusing test_0000" in r.stdout
+    assert not (tp / "test_0001").exists()  # no new index allocated
+    assert (dead / "model_0000").is_dir()  # trained into the dead dir
+    # params.json was rewritten by the real run (records the pass)
+    import json
+    assert json.loads((dead / "params.json").read_text())["pass_no"] == 1
+
+
+def test_resume_latest_completed_run_is_idempotent(workdir, tmp_path):
+    """Re-running a COMPLETED stage with resumeLatest is a no-op: it resumes
+    in the run's own dir, trains zero iterations, writes no duplicate
+    checkpoint, and allocates no new run dir (recipe stages are rerunnable)."""
+    d = str(workdir)
+    tp = tmp_path / "runs"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    args = (f"out 0 basePath {d}/data/ fromSim 1000 toSim 1000 frameMax 5 "
+            "upRes 4 tileSizeLow 6 useVelocities 1 trainingIters 2 "
+            "batchSize 2 saveInterval 0 outputInterval 2 useTempoD 0 "
+            "firstNN 1 genFilters 8 discFilters 8 genBlocks 1 dtype float32 "
+            f"testPath {tp}/ randSeed 5 resumeLatest 1")
+    cmd = [sys.executable,
+           os.path.join(REPO, "scripts", "multipass_gan.py")] + args.split()
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd=d, env=env,
+                       timeout=900)
+    assert r.returncode == 0, f"{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    before = sorted(os.listdir(tp / "test_0000"))
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd=d, env=env,
+                       timeout=900)
+    assert r.returncode == 0, f"{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    assert "resumeLatest: test_0000/model_0000" in r.stdout
+    assert "budget already complete (model_0000)" in r.stdout
+    assert sorted(os.listdir(tp / "test_0000")) == before  # no new files
+    assert not (tp / "test_0001").exists()
+
+
 def test_resume_from_empty_run_clear_error(workdir, tmp_path):
     """resumeTest into a run dir with no checkpoints must exit with a clear
     message, not a NoneType format crash deep in orbax paths."""

@@ -367,6 +367,69 @@ def test_latest_resumable_skips_sidecarless_when_pass_requested(tmp_path):
     assert ckpt.latest_resumable(str(tmp_path)) == (0, 1)
 
 
+def test_recover_run_dir_reuses_only_newest_dead_same_pass(tmp_path):
+    """Crash-recovery FRESH starts (resumeLatest found nothing) reuse the
+    newest run dir iff it is the same-pass dead run (params.json pass_no,
+    zero checkpoints) — keeping recipe-pinned run indices stable — and
+    never resurrect older or mismatched dirs."""
+    import json
+    import os
+    from mpgan_tpu.train import checkpoint as ckpt
+
+    assert ckpt.recover_run_dir(str(tmp_path), 1) is None  # no base dir
+    run0 = ckpt.next_run_dir(str(tmp_path))  # dead pass-1 run
+    with open(os.path.join(run0, "params.json"), "w") as f:
+        json.dump({"argv": [], "config": {}, "pass_no": 1}, f)
+    assert ckpt.recover_run_dir(str(tmp_path), 1) == run0
+    assert ckpt.recover_run_dir(str(tmp_path), 2) is None  # pass mismatch
+    # min_index scoping (the retryOnError supervisor's contract)
+    assert ckpt.recover_run_dir(str(tmp_path), 1, min_index=1) is None
+    # a newer non-matching dir shadows it: only the NEWEST is considered
+    run1 = ckpt.next_run_dir(str(tmp_path))
+    with open(os.path.join(run1, "params.json"), "w") as f:
+        json.dump({"argv": [], "config": {}, "pass_no": 2}, f)
+    assert ckpt.recover_run_dir(str(tmp_path), 1) is None
+    assert ckpt.recover_run_dir(str(tmp_path), 2) == run1
+    # any checkpoint in the dir disqualifies it (not a pre-first-save death)
+    os.makedirs(ckpt.model_dir(run1, 0))
+    assert ckpt.recover_run_dir(str(tmp_path), 2) is None
+    # gen-only dirs (e.g. a TF1 import) must not be hijacked either
+    run2 = ckpt.next_run_dir(str(tmp_path))
+    with open(os.path.join(run2, "params.json"), "w") as f:
+        json.dump({"argv": [], "config": {}, "pass_no": 1}, f)
+    os.makedirs(os.path.join(run2, "gen_0000"))
+    assert ckpt.recover_run_dir(str(tmp_path), 1) is None
+    # pre-pass_no params.json (older runs): unknown pass, never reused
+    run3 = ckpt.next_run_dir(str(tmp_path))
+    with open(os.path.join(run3, "params.json"), "w") as f:
+        json.dump({"argv": [], "config": {}}, f)
+    assert ckpt.recover_run_dir(str(tmp_path), 1) is None
+
+
+def test_checkpoint_save_overwrites_existing_dir(tmp_path):
+    """In-place recovery can re-save a model/gen number whose dir was left
+    by a kill after the orbax write but before the sidecar (latest_resumable
+    skipped it) — save must overwrite, not raise on the existing path."""
+    from mpgan_tpu.train import checkpoint as ckpt
+
+    ds = _dataset()
+    cfg = _config(stages=1)
+    tc = TileCreator(ds, tile_lr=8, density_threshold=0.0, augment=False)
+    tr = Trainer(cfg, tc)
+    tr.fit(iters=1, log_every=1)
+    run = ckpt.next_run_dir(str(tmp_path))
+    ckpt.save(run, 0, tr.rt.state, dict(it=1, stage=1, pass_no=1))
+    ckpt.save_gen(run, 0, tr.rt.state.params_g)
+    tr.fit(iters=3, start_it=1, log_every=1)
+    ckpt.save(run, 0, tr.rt.state, dict(it=3, stage=1, pass_no=1))  # no raise
+    ckpt.save_gen(run, 0, tr.rt.state.params_g)
+    tr2 = Trainer(cfg, tc)
+    assert tr2.restore(run, 0) == 3  # the NEWER state won
+    w1 = np.asarray(tr.rt.state.params_g["params"]["stem"]["kernel"])
+    w2 = np.asarray(tr2.rt.state.params_g["params"]["stem"]["kernel"])
+    np.testing.assert_array_equal(w1, w2)
+
+
 def test_label_smooth_rejected_outside_sce_lsgan():
     r, f = jnp.asarray([1.0]), jnp.asarray([-1.0])
     for mode in ("hinge", "wgan"):
