@@ -10,7 +10,10 @@
 # Neither OOD family ever appears in training. Every stage is restartable
 # (skipExisting / resumeLatest / retryOnError).
 #
-# Results (real v5e, 2026-08-19) are recorded in BASELINE.md's quality table.
+# Results (real v5e, completed 2026-08-20): BASELINE.md "Diverse-scene
+# training + OOD generalization" table; raw JSON .datad/diverse_eval.jsonl;
+# trained pair bundled as examples/checkpoints/g1_div + g2_div and gated by
+# tests/test_quality.py (PSNR/SSIM/tdiff on the bundled sim_3020 frames).
 set -eu
 cd "$(dirname "$0")/.."
 B=".datad/"

@@ -24,11 +24,24 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 EXAMPLES = os.path.join(HERE, "..", "examples")
 
 
+def _missing(kind, what):
+    """Skip ONLY when the whole bundle is absent (a stripped distribution).
+
+    When `examples/<kind>` exists but a specific artifact is missing, FAIL:
+    a quality gate that silently skips in a green suite reads as coverage
+    (VERDICT r3 weak #1 — the OOD gate skipped for a full round because the
+    checkpoints were bundled but never committed)."""
+    if os.path.isdir(os.path.join(EXAMPLES, kind)):
+        pytest.fail(f"bundled {kind} present but {what} missing — "
+                    f"quality gates must not skip silently")
+    pytest.skip(f"examples/{kind} bundle absent")
+
+
 def _restore(name, template):
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(EXAMPLES, "checkpoints", name))
     if not os.path.exists(path):
-        pytest.skip(f"bundled checkpoint {name} missing")
+        _missing("checkpoints", name)
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
     return ckptr.restore(path, abstract)
@@ -37,7 +50,7 @@ def _restore(name, template):
 def _load_frame(sim, frame):
     d_dir = os.path.join(EXAMPLES, "data", sim)
     if not os.path.isdir(d_dir):
-        pytest.skip(f"bundled data {sim} missing")
+        _missing("data", sim)
     _, d = uni.readUni(os.path.join(d_dir, f"density_low_{frame:04d}.uni"))
     _, v = uni.readUni(os.path.join(d_dir, f"velocity_low_{frame:04d}.uni"))
     _, gt = uni.readUni(os.path.join(d_dir, f"density_high_{frame:04d}.uni"))
@@ -71,6 +84,78 @@ def test_4x_two_pass_bundled_psnr_floor():
     ssim_tri = metrics.ssim_volume(tri_vol, gt)
     assert ssim >= ssim_tri + 0.02, (ssim, ssim_tri)  # measured +0.036
     assert ssim >= 0.985, ssim  # measured 0.9928
+
+
+def test_bundled_artifacts_inventory_complete():
+    """Meta-gate (VERDICT r3 next #1): every artifact the quality gates load
+    must be committed, so no gate can ever skip while the suite stays green.
+    A partial `git add examples/` now fails HERE with a named path."""
+    ckpts = ["g1_l1", "g2_l1", "g1_gan8", "g2_gan8", "g3_l18",
+             "g1_div", "g2_div"]
+    data = [("sim_1010", [12]), ("sim_2010", [24]),
+            ("sim_3020", [29, 30, 31])]
+    missing = []
+    for c in ckpts:
+        p = os.path.join(EXAMPLES, "checkpoints", c)
+        if not os.path.isdir(p) or not os.listdir(p):
+            missing.append(f"checkpoints/{c}")
+    for sim, frames in data:
+        for f in frames:
+            for stem in ("density_low", "velocity_low", "density_high"):
+                p = os.path.join(EXAMPLES, "data", sim, f"{stem}_{f:04d}.uni")
+                if not os.path.exists(p):
+                    missing.append(f"data/{sim}/{stem}_{f:04d}.uni")
+    assert not missing, f"bundled quality-gate artifacts missing: {missing}"
+
+
+def _upscale_div(frames):
+    """Two-pass 4x upscale of bundled sim_3020 frames with the diverse pair;
+    returns (outs, gts, hr_velocities) as float32 numpy volumes."""
+    up, stages = 4, 2
+    g1 = G.make_pass1(stages, 32, 2, dtype=jnp.float32)
+    g2 = G.make_pass2(stages, 32, 2, dtype=jnp.float32)
+    p1 = _restore("g1_div", g1.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 12, 12, 4))))
+    p2 = _restore("g2_div", g2.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 12, 12 * up, 4))))
+    outs, gts, vels = [], [], []
+    for f in frames:
+        d, lr, gt = _load_frame("sim_3020", f)
+        out = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr,
+                                                 up_res=up))
+        z, y, x, _ = d.shape
+        v_hr = np.asarray(jax.image.resize(
+            lr[..., 1:4], (z * up, y * up, x * up, 3), "linear")) * up
+        outs.append(out.astype(np.float32))
+        gts.append(np.asarray(gt, np.float32))
+        vels.append(v_hr)
+    return outs, gts, vels
+
+
+def test_4x_diverse_model_temporal_coherence():
+    """Temporal-coherence gate (VERDICT r3 weak #3 / next #5): tdiff =
+    mean |d_t − A(d_{t−1}; v_t)| (tempoGAN T_diff, scripts/eval.py:87-98)
+    over bundled consecutive frames 29→30→31 of the held-out 'moving' scene.
+    Guards the failure mode the temporal discriminator exists to prevent:
+    a regression that over-smooths motion (tdiff collapsing far below the
+    ground-truth level) or destroys coherence (tdiff blowing up past GT)
+    would pass the PSNR/SSIM gates but fail here."""
+    from mpgan_tpu.ops.warp import advect_3d
+    outs, gts, vels = _upscale_div([29, 30, 31])
+    td, td_gt = [], []
+    for i in (1, 2):
+        warp_prev = np.asarray(advect_3d(jnp.asarray(outs[i - 1]),
+                                         jnp.asarray(vels[i]), 1.0))
+        td.append(float(np.abs(outs[i] - warp_prev).mean()))
+        warp_gt = np.asarray(advect_3d(jnp.asarray(gts[i - 1]),
+                                       jnp.asarray(vels[i]), 1.0))
+        td_gt.append(float(np.abs(gts[i] - warp_gt).mean()))
+    tdiff, tdiff_gt = np.mean(td), np.mean(td_gt)
+    ratio = tdiff / tdiff_gt
+    # dataset-wide measured ratio 0.74 (diverse_eval 40-frame mean
+    # 0.00952/0.01293); per-frame values drift, hence the wide margins
+    assert ratio >= 0.45, (tdiff, tdiff_gt)  # over-smooth: motion washed out
+    assert ratio <= 1.35, (tdiff, tdiff_gt)  # incoherent: temporal noise
 
 
 def test_4x_diverse_model_ood_generalization_floor():
