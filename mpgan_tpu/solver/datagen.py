@@ -122,7 +122,7 @@ def generate_sim(sim_dir: str, seed: int, res_hi: int, up_res: int,
                  frames: int, warmup: int = 8, with_obstacle: bool = False,
                  save_flags: bool = False,
                  pressure_solver: str = "jacobi",
-                 scene: str = "plume") -> None:
+                 scene: str = "plume", write_high_vel: bool = True) -> None:
     """Run one simulation and write LR/HR .uni pairs per frame."""
     os.makedirs(sim_dir, exist_ok=True)
     key = jax.random.PRNGKey(seed)
@@ -172,12 +172,18 @@ def generate_sim(sim_dir: str, seed: int, res_hi: int, up_res: int,
 
         dens_lo_j, vel_lo_j = frame_outputs(state)
         dens_hi = np.asarray(state.density)
-        vel_hi = np.asarray(state.velocity)
         dens_lo = np.asarray(dens_lo_j)
         vel_lo = np.asarray(vel_lo_j)
 
         uni.write_density(os.path.join(sim_dir, f"density_high_{f:04d}.uni"), dens_hi[..., 0])
-        uni.write_velocity(os.path.join(sim_dir, f"velocity_high_{f:04d}.uni"), vel_hi)
+        if write_high_vel:
+            # nothing in training/eval reads HR velocity (loader reads LR
+            # velocity; eval resizes it) — but the reference's datagen writes
+            # it, so it stays the default. writeHighVel 0 skips the dominant
+            # device→host fetch (~3/4 of per-frame bytes on the axon tunnel).
+            uni.write_velocity(
+                os.path.join(sim_dir, f"velocity_high_{f:04d}.uni"),
+                np.asarray(state.velocity))
         uni.write_density(os.path.join(sim_dir, f"density_low_{f:04d}.uni"), dens_lo[..., 0])
         uni.write_velocity(os.path.join(sim_dir, f"velocity_low_{f:04d}.uni"), vel_lo)
         if save_flags and state.solid is not None:
@@ -266,7 +272,8 @@ def sim_scene_policy(scene: str, sim: int,
 
 def generate_dataset(base_path: str, from_sim: int, to_sim: int, res_hi: int,
                      up_res: int, frames: int, seed: int = 0,
-                     obstacles_every: int = 0, scene: str = "plume") -> None:
+                     obstacles_every: int = 0, scene: str = "plume",
+                     write_high_vel: bool = True) -> None:
     """Generate sims ``sim_%04d`` for indices [from_sim, to_sim] inclusive.
 
     ``scene != "plume"`` selects a randomized family (varied_plume_scene);
@@ -277,4 +284,5 @@ def generate_dataset(base_path: str, from_sim: int, to_sim: int, res_hi: int,
         sim_dir = os.path.join(base_path, f"sim_{sim:04d}")
         generate_sim(sim_dir, seed + sim, res_hi, up_res, frames,
                      with_obstacle=with_obs,
-                     save_flags=save_flags, scene=scene)
+                     save_flags=save_flags, scene=scene,
+                     write_high_vel=write_high_vel)

@@ -141,7 +141,8 @@ def latest_gen_no(run: str) -> int | None:
 
 
 def latest_resumable(base: str, pass_no: int | None = None,
-                     min_index: int = -1) -> tuple[int, int] | None:
+                     min_index: int = -1,
+                     max_index: int | None = None) -> tuple[int, int] | None:
     """Newest (run index, model no) under ``base`` with a full checkpoint —
     the auto-resume target (``resumeLatest 1``; SURVEY.md §5 'Failure
     detection / elastic recovery': restart without hand-picking numbers).
@@ -153,12 +154,18 @@ def latest_resumable(base: str, pass_no: int | None = None,
     at restore with a param-shape mismatch, so the crash-recovery path must
     never guess. ``min_index`` restricts the scan to run indices >= it (the
     retryOnError supervisor scopes recovery to run dirs its own launch
-    created, so an unrelated older run can never hijack a restart)."""
+    created, so an unrelated older run can never hijack a restart);
+    ``max_index`` additionally bounds it above (``resumeIndex`` pins the
+    scan to exactly one run dir in multi-config recipes, where several
+    same-pass runs share a testPath and "newest same-pass checkpoint" is
+    the wrong answer)."""
     if not os.path.isdir(base):
         return None
     runs = sorted((idx for d in os.listdir(base)
                    if (m := re.fullmatch(r"test_(\d{4})", d))
-                   and (idx := int(m.group(1))) >= min_index), reverse=True)
+                   and (idx := int(m.group(1))) >= min_index
+                   and (max_index is None or idx <= max_index)),
+                  reverse=True)
     for idx in runs:
         run = run_dir(base, idx)
         if not os.path.isdir(run):

@@ -1,0 +1,112 @@
+#!/bin/bash
+# Canonical quality-table regeneration recipe (VERDICT r3 next #6): rebuilds
+# the datasets AND retrains + re-evaluates the headline configs of
+# BASELINE.md's canonical table end-to-end, so a scratch wipe can never
+# orphan the table again (the r2 run dirs behind the original 15-config
+# table were wiped between rounds; "measured, not quoted" must be
+# re-runnable on demand).
+#
+# Headline configs covered (both factors):
+#   - two-pass L1 (+ G1-only row for the pass-2 delta)
+#   - GAN fine-tune + lazy R1 (k=16) + EMA eval (warm start from the L1 G1)
+#   - GAN from scratch (hinge + R1 + TTUR, progressive growing), two-pass
+#   - three-pass (+ L1 yz refiner) on the L1 chain (4x headline 34.7 dB)
+#
+# Faithfulness notes vs the r2 table (exact r2 argv was lost in the wipe —
+# numbers are expected to land near, not atop, the r2 rows; drift is
+# flagged in BASELINE.md):
+#   - datasets: 10 train sims + 1 holdout per factor, 48 frames, 128^3 HR,
+#     CG projection. 4x: plume family, obstacles every 4th sim (holdout
+#     sim_1010 plain). 8x: all-obstacle plume family (the r2 8x holdout
+#     sim_2010 is noted as an obstacle scene). writeHighVel 0: HR velocity
+#     is written by the reference's datagen but read by nothing here, and
+#     it is ~3/4 of the device->host fetch bytes on this tunnel.
+#   - every stage is restartable ACROSS reruns: resumeIndex pins each
+#     config to its run dir (resume / revive / create exactly test_k;
+#     complete stages no-op without loading the dataset), and retryOnError
+#     supervises within a launch.
+#
+# Run:   bash scripts/canonical_recipe.sh            (hours on one v5e)
+# Evals: .data/canonical_eval_r04.jsonl (one JSON line per config)
+set -eu
+cd "$(dirname "$0")/.."
+OUT=${1:-.data/canonical_eval_r04.jsonl}
+
+GEN="timeout 14400 python scripts/datagen.py resHigh 128 frames 48 warmup 8 \
+     pressureSolver cg skipExisting 1 writeHighVel 0 randSeed 0"
+$GEN basePath .data/  upRes 4 fromSim 1000 toSim 1010 obstacles 4
+$GEN basePath .data8/ upRes 8 fromSim 2000 toSim 2010 obstacles 1
+
+train() {  # train <basePath> <testPath> <upRes> <idx> <iters> <extra...>
+  local B=$1 TP=$2 U=$3 IDX=$4 ITERS=$5; shift 5
+  python scripts/multipass_gan.py out 0 basePath "$B" fromSim "$FROM" \
+      toSim "$TO" frameMin 0 frameMax 48 upRes "$U" tileSizeLow 16 \
+      useVelocities 1 batchSize 16 testPath "$TP" randSeed 42 \
+      saveInterval 2000 outputInterval 1000 retryOnError 6 hangTimeout 900 \
+      resumeIndex "$IDX" trainingIters "$ITERS" "$@"
+}
+
+L1="useTempoD 0 kAdv 0 kt 0 kf 0"
+GANFT="useTempoD 1 ganLoss hinge r1Gamma 10 r1Interval 16 emaDecay 0.999 lrdisc 0.0004"
+SCRATCH="useTempoD 1 ganLoss hinge r1Gamma 10 lrdisc 0.0004 useGrowing 1"
+
+chain() {  # chain <basePath> <testPath> <upRes>
+  local B=$1 TP=$2 U=$3
+  # 0: pass-1 L1
+  train "$B" "$TP" "$U" 0 12000 firstNN 1 $L1
+  # 1: pass-2 L1 on the frozen L1 G1
+  train "$B" "$TP" "$U" 1 12000 firstNN 0 pass2Source g1 \
+      load_model_test 0 load_model_no -1 $L1
+  # 2: pass-1 GAN fine-tune (warm start) + lazy R1 + EMA
+  train "$B" "$TP" "$U" 2 8000 firstNN 1 warmStartTest 0 warmStartNo -1 \
+      $GANFT
+  # 3: pass-1 GAN from scratch, progressive
+  train "$B" "$TP" "$U" 3 12000 firstNN 1 $SCRATCH
+  # 4: pass-2 on the frozen scratch G1 (adversarial, progressive)
+  train "$B" "$TP" "$U" 4 12000 firstNN 0 pass2Source g1 \
+      load_model_test 3 load_model_no -1 $SCRATCH
+  # 5: pass-3 L1 yz refiner on the frozen L1 two-pass chain
+  train "$B" "$TP" "$U" 5 8000 trainPass 3 pass3Source model \
+      load_model_test 0 load_model_no -1 load_model_test2 1 \
+      load_model_no2 -1 $L1
+}
+
+FROM=1000 TO=1009; chain .data/  .data/runs4c/  4
+FROM=2000 TO=2009; chain .data8/ .data8/runs8c/ 8
+
+run_eval() {  # run_eval <label> <args...>
+  local label=$1; shift
+  echo "EVAL $label" >&2
+  local line
+  line=$(JAX_PLATFORMS=cpu timeout 5400 python scripts/eval.py "$@" \
+         2>/tmp/ceval_err.log | tail -1)
+  if [ -n "$line" ]; then
+    echo "{\"config\": \"$label\", \"result\": $line}" >> "$OUT"
+  else
+    echo "{\"config\": \"$label\", \"error\": true}" >> "$OUT"
+    tail -5 /tmp/ceval_err.log >&2
+  fi
+}
+
+: > "$OUT"
+E4="basePath .data/ fromSim 1010 toSim 1010 frameMin 8 frameMax 48 upRes 4 \
+    tileSizeLow 16 useVelocities 1 testPath .data/runs4c/"
+E8="basePath .data8/ fromSim 2010 toSim 2010 frameMin 8 frameMax 48 upRes 8 \
+    tileSizeLow 16 useVelocities 1 testPath .data8/runs8c/"
+for F in 4 8; do
+  eval "E=\$E$F"
+  run_eval "${F}x_g1_l1"              $E load_model_test 0 load_model_no -1
+  run_eval "${F}x_twopass_l1"         $E load_model_test 0 load_model_no -1 \
+      load_model_test2 1 load_model_no2 -1
+  run_eval "${F}x_twopass_ganft_lazyr1" $E load_model_test 2 load_model_no -1 \
+      load_model_test2 1 load_model_no2 -1
+  run_eval "${F}x_twopass_ganft_lazyr1_ema" $E load_model_test 2 \
+      load_model_no -1 load_model_test2 1 load_model_no2 -1 useEma 1
+  run_eval "${F}x_twopass_ganscratch" $E load_model_test 3 load_model_no -1 \
+      load_model_test2 4 load_model_no2 -1
+  run_eval "${F}x_threepass_l1p3"     $E load_model_test 0 load_model_no -1 \
+      load_model_test2 1 load_model_no2 -1 load_model_test3 5 \
+      load_model_no3 -1
+done
+cat "$OUT"
+echo CANONICAL_RECIPE_DONE

@@ -18,12 +18,15 @@ honor_jax_platforms_env()  # JAX_PLATFORMS must win over sitecustomize's pin
 from mpgan_tpu.utils import params as ph
 
 
-def _sim_complete(sim_dir: str, frames: int, with_obstacle: bool) -> bool:
+def _sim_complete(sim_dir: str, frames: int, with_obstacle: bool,
+                  high_vel: bool = True) -> bool:
     """A sim dir is complete iff its LAST frame's files all exist — frames
     are written in order and .uni writes are atomic (tmp + rename)."""
     f = frames - 1
-    names = [f"density_high_{f:04d}.uni", f"velocity_high_{f:04d}.uni",
+    names = [f"density_high_{f:04d}.uni",
              f"density_low_{f:04d}.uni", f"velocity_low_{f:04d}.uni"]
+    if high_vel:
+        names.append(f"velocity_high_{f:04d}.uni")
     if with_obstacle:
         names.append(f"flags_{f:04d}.uni")
     return all(os.path.exists(os.path.join(sim_dir, n)) for n in names)
@@ -52,6 +55,9 @@ def main(argv=None):
     # restartable sweeps: skip sims whose output is already complete (.uni
     # writes are atomic, so an existing final frame implies a finished sim)
     skip_existing = int(ph.getParam("skipExisting", 0))
+    # writeHighVel 0 skips velocity_high_%04d.uni (unread by training/eval;
+    # ~3/4 of per-frame device→host fetch bytes on the axon tunnel)
+    high_vel = int(ph.getParam("writeHighVel", 1))
     ph.checkUnusedParams()
     if psolver not in ("jacobi", "cg"):
         sys.exit(f"pressureSolver must be jacobi or cg, got {psolver!r}")
@@ -68,7 +74,8 @@ def main(argv=None):
         sim_dir = os.path.join(base, f"sim_{sim:04d}")
         # 2D scenes never write flags files, even with obstacles
         if skip_existing and _sim_complete(sim_dir, frames,
-                                           save_flags and data_dim != 2):
+                                           save_flags and data_dim != 2,
+                                           high_vel=bool(high_vel)):
             print(f"sim_{sim:04d}: complete ({frames} frames) — skipped")
             continue
         t0 = time.time()
@@ -81,7 +88,8 @@ def main(argv=None):
             datagen.generate_sim(sim_dir, seed + sim, res_hi, up_res, frames,
                                  warmup=warmup, with_obstacle=with_obs,
                                  save_flags=save_flags,
-                                 pressure_solver=psolver, scene=scene)
+                                 pressure_solver=psolver, scene=scene,
+                                 write_high_vel=bool(high_vel))
         print(f"sim_{sim:04d}: {frames} frames @{res_hi}^{data_dim} "
               f"(scene={scene}, obstacle={with_obs}) "
               f"in {time.time()-t0:.1f}s -> {sim_dir}")

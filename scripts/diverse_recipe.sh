@@ -22,23 +22,22 @@ $GEN fromSim 3000 toSim 3008 scene varied
 $GEN fromSim 3020 toSim 3020 scene moving
 $GEN fromSim 3021 toSim 3021 scene varied-dual
 
-# resumeLatest 1 makes each stage restartable ACROSS script reruns (not
-# just within one supervisor's retry budget): recovery is run-dir-stable —
-# a rerun resumes pass-1 IN test_0000 / pass-2 IN test_0001 (latest_resumable
-# is pass-aware via the model sidecar's pass_no; a crash BEFORE the first
-# save restarts from scratch into the dead dir via params.json's pass_no,
-# ckpt.recover_run_dir) — so the eval's pinned test 0/1 indices always hold.
-# A completed stage resumes, sees its budget done, and exits without writing
-# a duplicate checkpoint.
+# resumeIndex pins each stage to its run dir and makes it restartable
+# ACROSS script reruns (not just within one supervisor's retry budget):
+# a rerun resumes pass-1 IN test_0000 / pass-2 IN test_0001, a stage that
+# died before its first save restarts from scratch into its own (dead)
+# dir, and a COMPLETED stage exits immediately without loading the dataset
+# — so the eval's pinned test 0/1 indices always hold. (resumeLatest's
+# newest-same-pass scan is the crash-recovery default but the wrong tool
+# for recipes: it can land on a different run than the one a stage owns.)
 T="python scripts/multipass_gan.py out 0 basePath $B fromSim 3000 toSim 3007 \
    frameMin 0 frameMax 48 upRes 4 tileSizeLow 12 useVelocities 1 \
    batchSize 16 useTempoD 0 kAdv 0 kt 0 kf 0 testPath ${B}runs/ randSeed 42 \
-   saveInterval 2000 outputInterval 1000 retryOnError 6 hangTimeout 600 \
-   resumeLatest 1"
+   saveInterval 2000 outputInterval 1000 retryOnError 6 hangTimeout 600"
 # pass 1 (xy SR), pure L1            -> ${B}runs/test_0000
-$T firstNN 1 trainingIters 12000
+$T resumeIndex 0 firstNN 1 trainingIters 12000
 # pass 2 (z refinement) on frozen G1 -> ${B}runs/test_0001
-$T firstNN 0 pass2Source g1 load_model_test 0 load_model_no -1 trainingIters 12000
+$T resumeIndex 1 firstNN 0 pass2Source g1 load_model_test 0 load_model_no -1 trainingIters 12000
 
 E="python scripts/eval.py basePath $B frameMin 8 frameMax 48 upRes 4 \
    tileSizeLow 12 useVelocities 1 testPath ${B}runs/ \

@@ -96,6 +96,13 @@ def main(argv=None):
     # auto-resume: pick the newest same-pass checkpoint under testPath
     # (crash recovery without hand-picking run/model numbers)
     resume_latest = int(ph.getParam("resumeLatest", 0))
+    # pinned-index resume (recipes): "this training OWNS run dir test_k —
+    # resume it (completing its original budget), revive it if it died
+    # before its first save, or create it". Unlike resumeLatest, never
+    # touches any other run dir, so multi-config recipes can keep several
+    # same-pass runs under one testPath with stable indices. Takes
+    # precedence over resumeLatest.
+    resume_index = int(ph.getParam("resumeIndex", -1))
     # generator-only warm start (e.g. GAN fine-tune from an L1 pretrain;
     # BASELINE config 1 "pretrained first-pass generator")
     warm_test = int(ph.getParam("warmStartTest", -1))
@@ -111,7 +118,48 @@ def main(argv=None):
         # must never hijack crash recovery
         resume_min = int(os.environ.get("MPGAN_RESUME_MIN", "-1"))
         run_override = None
-        if resume_latest and (resume_test < 0 or resume_min >= 0):
+        if resume_index >= 0:
+            from mpgan_tpu.train import checkpoint as ckpt
+            pno = train_pass if train_pass else (
+                1 if cfg.train.first_gen_run else 2)
+            rdir = ckpt.run_dir(cfg.train.test_path, resume_index)
+            found = ckpt.latest_resumable(cfg.train.test_path, pass_no=pno,
+                                          min_index=resume_index,
+                                          max_index=resume_index)
+            if found is not None:
+                resume_test, resume_no = found
+                resume_total = True  # complete the run's ORIGINAL budget
+                run_override = rdir
+                # idempotent-rerun fast path: a complete run exits here,
+                # before the dataset load / G1 precompute sweep / compile
+                meta_path = ckpt.model_dir(rdir, found[1]) + ".json"
+                try:
+                    with open(meta_path) as f:
+                        meta = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    meta = {}
+                total = int(meta.get("total_iters")
+                            or cfg.train.training_iters)
+                if int(meta.get("it", -1)) >= total:
+                    print(f"resumeIndex {resume_index}: budget complete "
+                          f"(model_{found[1]:04d} at iter {meta['it']}) — "
+                          "nothing to do")
+                    return
+                print(f"resumeIndex {resume_index}: resuming "
+                      f"model_{found[1]:04d}")
+            elif ckpt.latest_model_no(rdir) is not None:
+                # run dir holds checkpoints of a DIFFERENT pass: the recipe
+                # pinned the wrong index — refusing beats silently training
+                # a second run the recipe's later stages won't find
+                sys.exit(f"resumeIndex {resume_index}: {rdir} holds "
+                         f"checkpoints of another pass (expected pass "
+                         f"{pno}) — wrong testPath/index")
+            else:
+                os.makedirs(rdir, exist_ok=True)
+                run_override = rdir  # fresh (or died-before-first-save) dir
+                print(f"resumeIndex {resume_index}: fresh start in "
+                      f"{os.path.basename(rdir)}")
+        elif resume_latest and (resume_test < 0 or resume_min >= 0):
             from mpgan_tpu.train import checkpoint as ckpt
             pno = train_pass if train_pass else (
                 1 if cfg.train.first_gen_run else 2)
@@ -262,6 +310,16 @@ def _supervise(argv, retries: int, hang_timeout: float = 0.0,
     # launch creates (indices >= the next free one), so an unrelated older
     # run under the same testPath can never hijack recovery
     resume_min = None if infer else _next_run_index(test_path)
+    # ... EXCEPT when the first attempt itself resumed an older run in place
+    # (run-dir-stable recovery / an explicit resumeIndex): the child reports
+    # the run dir it owns through this file, and retries pin to exactly that
+    # index — a >=-next-free scope would miss it and retrain from scratch
+    # into a fresh dir (observed 2026-08-20, duplicate 12k-iter trainings)
+    run_file = None
+    if not infer:
+        os.makedirs(test_path, exist_ok=True)
+        run_file = os.path.join(test_path, f".rundir_{os.getpid()}")
+        env["MPGAN_RUN_FILE"] = run_file
     heartbeat = None
     if hang_timeout > 0:
         os.makedirs(test_path, exist_ok=True)
@@ -273,9 +331,25 @@ def _supervise(argv, retries: int, hang_timeout: float = 0.0,
             args = list(base_argv)
             attempt_env = dict(env)
             if failures and not infer:
-                args = (_strip_flag(args, "resumeLatest")
-                        + ["resumeLatest", "1"])
-                attempt_env["MPGAN_RESUME_MIN"] = str(resume_min)
+                import re as _re
+                owned = None
+                try:
+                    if run_file and os.path.exists(run_file):
+                        base = os.path.basename(
+                            open(run_file).read().strip())
+                        m = _re.fullmatch(r"test_(\d{4})", base)
+                        owned = int(m.group(1)) if m else None
+                except OSError:
+                    owned = None
+                if owned is not None:
+                    # retry exactly the dir the dead attempt was training
+                    args = (_strip_flag(_strip_flag(args, "resumeLatest"),
+                                        "resumeIndex")
+                            + ["resumeIndex", str(owned)])
+                else:  # died before allocating a run dir
+                    args = (_strip_flag(args, "resumeLatest")
+                            + ["resumeLatest", "1"])
+                    attempt_env["MPGAN_RESUME_MIN"] = str(resume_min)
             cmd = [sys.executable, script] + args
             if heartbeat:
                 rc = _run_child_watched(cmd, attempt_env, hang_timeout,
@@ -297,6 +371,8 @@ def _supervise(argv, retries: int, hang_timeout: float = 0.0,
     finally:
         if heartbeat and os.path.exists(heartbeat):
             os.remove(heartbeat)
+        if run_file and os.path.exists(run_file):
+            os.remove(run_file)
 
 
 def run_training(cfg, argv, pass2_source: str = "gt",
@@ -357,6 +433,15 @@ def run_training(cfg, argv, pass2_source: str = "gt",
     # run_override: crash recovery (resumeLatest) continues in the dead
     # run's own dir instead of allocating the next index — see main()
     run = run_override or ckpt.next_run_dir(cfg.train.test_path)
+    run_file = os.environ.get("MPGAN_RUN_FILE")
+    if run_file and lead:
+        # tell the retryOnError supervisor which run dir this attempt OWNS:
+        # run-dir-stable recovery can resume a dir BELOW the supervisor's
+        # next-free-index scope, and a retry scoped only by MPGAN_RESUME_MIN
+        # would then miss it and retrain from scratch into a fresh dir
+        # (observed 2026-08-20: test_0002/test_0003 duplicate trainings)
+        with open(run_file, "w") as f:
+            f.write(run)
     if lead:
         ckpt.save_param_log(run, cfg, argv, pass_no=pass_no)
     print(f"run dir: {run}; devices: {len(jax.devices())} "
@@ -491,9 +576,13 @@ def run_training(cfg, argv, pass2_source: str = "gt",
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
         no = int(multihost_utils.broadcast_one_to_all(jnp.int32(no)))
+    # total_iters included: resumeIndex's budget-complete fast path and
+    # resumeLatest's original-budget recovery both read it — the final save
+    # used to omit it, making a completed run's budget unknowable
     ckpt.save(run, no, tr.rt.state,
               dict(it=total_iters, stage=tr.rt.stage,
-                   pass_no=tr.pass_no, up_res=tc.up_res))
+                   pass_no=tr.pass_no, up_res=tc.up_res,
+                   total_iters=budget["total_iters"]))
     ckpt.save_gen(run, no, tr.rt.state.params_g)
     if cfg.train.ema_decay > 0:
         ckpt.save_gen(run, no, tr.rt.ema, prefix="gen_ema")

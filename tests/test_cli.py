@@ -173,8 +173,9 @@ def test_retry_on_error_elastic_recovery(workdir, tmp_path):
     assert os.path.exists(sentinel)  # the fault really fired
     assert "injected fault" in r.stderr
     assert "retryOnError: training child died" in r.stdout
-    # resumed its OWN run (test_0001; test_0000 is the out-of-scope decoy)
-    assert "resumeLatest: test_0001/model_0001" in r.stdout
+    # resumed its OWN run (test_0001; test_0000 is the out-of-scope decoy):
+    # the child reported its run dir (MPGAN_RUN_FILE), so the retry pins it
+    assert "resumeIndex 1: resuming model_0001" in r.stdout
     assert "done:" in r.stdout  # restarted child ran to completion
     # recovery finishes the ORIGINAL trainingIters budget (4 → last it=3),
     # unlike explicit resumeTest/No which trains trainingIters more
@@ -205,7 +206,7 @@ def test_retry_on_error_hang_recovery(workdir, tmp_path):
     assert "MPGAN_HANG_ONCE: hanging" in r.stdout
     assert "; killing it" in r.stdout  # watchdog saw the stale heartbeat
     assert "retryOnError: training child died (rc=-9)" in r.stdout
-    assert "resumeLatest: test_0000/model_0001" in r.stdout
+    assert "resumeIndex 0: resuming model_0001" in r.stdout
     assert "'it': 3" in r.stdout.split("done:")[-1]
     # the heartbeat file is cleaned up on a clean finish
     assert not any(f.startswith(".heartbeat")
@@ -362,3 +363,87 @@ def test_retry_on_error_with_load_model_test(workdir, tmp_path):
     assert "test_0001/" in last_resume, r.stdout[-3000:]
     # and finished the continuation budget: start_it 2 + 4 iters -> last it 5
     assert "'it': 5" in r.stdout.split("done:")[-1], r.stdout[-2000:]
+
+
+def test_retry_scopes_to_in_place_resumed_run(workdir, tmp_path):
+    """Regression (observed 2026-08-20, duplicate 12k-iter trainings): when
+    attempt 0 resumes an OLDER run dir in place (run-dir-stable recovery),
+    a retry scoped only by next-free-index misses that dir and retrains
+    from scratch into a fresh one. The child now reports its run dir
+    (MPGAN_RUN_FILE) and retries pin to exactly that index."""
+    d = str(workdir)
+    tp = tmp_path / "runs"
+    base_args = (f"out 0 basePath {d}/data/ fromSim 1000 toSim 1000 "
+                 "frameMax 5 upRes 4 tileSizeLow 6 useVelocities 1 "
+                 "trainingIters 8 batchSize 2 saveInterval 2 "
+                 "outputInterval 2 useTempoD 0 firstNN 1 genFilters 8 "
+                 "discFilters 8 genBlocks 1 dtype float32 "
+                 f"testPath {tp}/ randSeed 5 ")
+    # phase A: unsupervised run dies after model_0001 (it=2 of 8) → partial
+    # test_0000
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MPGAN_RETRY_DELAY_S="0",
+               MPGAN_FAIL_ONCE=str(tmp_path / "s1"))
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multipass_gan.py")]
+        + base_args.split(),
+        capture_output=True, text=True, cwd=d, env=env, timeout=900)
+    assert r.returncode != 0
+    # phase B: supervised rerun; attempt 0 resumes test_0000 IN PLACE
+    # (below the supervisor's next-free-index scope of 1), dies again at
+    # the it=4 checkpoint; the retry must come back to test_0000
+    env["MPGAN_FAIL_ONCE"] = str(tmp_path / "s2")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multipass_gan.py")]
+        + (base_args + "resumeLatest 1 retryOnError 1").split(),
+        capture_output=True, text=True, cwd=d, env=env, timeout=900)
+    assert r.returncode == 0, f"{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    assert "resumeLatest: test_0000/model_0001" in r.stdout  # attempt 0
+    assert "retryOnError: training child died" in r.stdout
+    assert "resumeIndex 0: resuming model_0002" in r.stdout  # pinned retry
+    assert not (tp / "test_0001").exists()  # no from-scratch duplicate
+    assert "'it': 7" in r.stdout.split("done:")[-1]  # original budget done
+
+
+def test_resume_index_pins_run_dir_in_multi_config_recipes(workdir, tmp_path):
+    """resumeIndex k owns exactly test_k: two same-pass configs can share a
+    testPath with stable indices (resumeLatest would resume the newest
+    same-pass run — the wrong one), and reruns of a complete stage are
+    cheap no-ops that exit before the dataset even loads."""
+    d = str(workdir)
+    tp = tmp_path / "runs"
+    base = (f"out 0 basePath {d}/data/ fromSim 1000 toSim 1000 frameMax 5 "
+            "upRes 4 tileSizeLow 6 useVelocities 1 trainingIters 2 "
+            "batchSize 2 saveInterval 0 outputInterval 2 useTempoD 0 "
+            "genFilters 8 discFilters 8 genBlocks 1 dtype float32 "
+            f"testPath {tp}/ ")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    def run(extra, ok=True):
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "multipass_gan.py")]
+            + (base + extra).split(),
+            capture_output=True, text=True, cwd=d, env=env, timeout=900)
+        if ok:
+            assert r.returncode == 0, f"{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+        return r
+
+    out = run("firstNN 1 randSeed 5 resumeIndex 0").stdout
+    assert "fresh start in test_0000" in out
+    # a SECOND pass-1 config pinned to index 1 must not touch test_0000
+    out = run("firstNN 1 randSeed 6 resumeIndex 1").stdout
+    assert "fresh start in test_0001" in out
+    before0 = sorted(os.listdir(tp / "test_0000"))
+    # rerunning the complete stage 0 no-ops — even though test_0001 is a
+    # NEWER same-pass run (resumeLatest would have picked it)
+    out = run("firstNN 1 randSeed 5 resumeIndex 0").stdout
+    assert "resumeIndex 0: budget complete" in out
+    assert "nothing to do" in out
+    assert sorted(os.listdir(tp / "test_0000")) == before0
+    assert not (tp / "test_0002").exists()
+    # pinning the wrong pass at an index is a hard error, not a silent
+    # new run dir
+    r = run("firstNN 0 randSeed 5 resumeIndex 0 pass2Source g1 "
+            "load_model_test 0 load_model_no -1", ok=False)
+    assert r.returncode != 0
+    assert "holds checkpoints of another pass" in (r.stdout + r.stderr)
