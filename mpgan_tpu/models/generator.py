@@ -29,11 +29,20 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from mpgan_tpu.ops.upsample import upsample_2d
 
-def _upsample(x: jnp.ndarray, fh: int, fw: int, method: str = "linear") -> jnp.ndarray:
+
+def _upsample(x: jnp.ndarray, fh: int, fw: int, method: str = "linear",
+              mode: str = "resize") -> jnp.ndarray:
     b, h, w, c = x.shape
     if fh == 1 and fw == 1:
         return x
+    if mode != "resize" and method == "linear" and fh in (1, 2) and fw in (1, 2):
+        # layout-preserving exact 2x path (ops/upsample.py): same bilinear
+        # weights as jax.image.resize, but avoids its dot_general lowering,
+        # whose layout island costs 39% of pass-2 inference in relayout
+        # copies (.profiles/pass2/per_op_breakdown.json)
+        return upsample_2d(x, fh, fw, mode=mode)
     return jax.image.resize(x, (b, h * fh, w * fw, c), method=method)
 
 
@@ -81,6 +90,14 @@ class Generator(nn.Module):
     # rematerialize residual blocks (jax.checkpoint): trades FLOPs for HBM —
     # needed when training large slices (8×/512³, SURVEY.md §7(e))
     remat: bool = False
+    # per-stage upsample lowering (ops/upsample.py; all numerically equal):
+    # "resize" = jax.image.resize; "conv_dw"/"conv_dense"/"interleave" =
+    # layout-preserving rewrites that avoid the resize dot_general's relayout
+    # copies. Default picked by the real-chip A/B (scripts/bench_upsample_ab,
+    # r4): conv_dense — pass-2 inference 23.7 -> 14.2 ms/frame (1.67x),
+    # pass-1 5.96 -> 5.48 ms; interleave LOSES (materialized concats, 2.2x
+    # bytes) and conv_dw trails conv_dense slightly (VPU vs MXU path)
+    upsample_mode: str = "conv_dense"
 
     def _stage_filters(self, k: int) -> int:
         return max(self.base_filters // (2 ** k), self.min_filters)
@@ -108,7 +125,7 @@ class Generator(nn.Module):
         block_cls = nn.remat(ResBlock) if self.remat else ResBlock
         for k in range(stage):
             fh, fw = self.factors[k]
-            h = _upsample(h, fh, fw)
+            h = _upsample(h, fh, fw, mode=self.upsample_mode)
             for i in range(self.n_res_blocks):
                 h = block_cls(self._stage_filters(k + 1), dtype=self.dtype,
                               name=f"block_{k}_{i}")(h)
@@ -118,7 +135,8 @@ class Generator(nn.Module):
         out = heads[stage - 1]
         if stage > 1 and fade:
             out = alpha * out + (1.0 - alpha) * _upsample(
-                heads[stage - 2], *self.factors[stage - 1])
+                heads[stage - 2], *self.factors[stage - 1],
+                mode=self.upsample_mode)
 
         if self.global_skip:
             fh = 1

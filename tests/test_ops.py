@@ -232,3 +232,62 @@ def test_transforms_compose_under_vmap():
     assert a.shape == (8, 2, 2)
     prod = np.asarray(jnp.einsum("bij,bjk->bik", a, ainv))
     np.testing.assert_allclose(prod, np.tile(np.eye(2), (8, 1, 1)), atol=1e-5)
+
+
+# ------------------------------------------------------- layout-safe upsample
+# ops/upsample.py: the generator's per-stage 2x upsample, rewritten from
+# jax.image.resize to elementwise + major-dim interleave (the resize's
+# dot_general lowering cost 39% of pass-2 inference in relayout copies —
+# .profiles/pass2/per_op_breakdown.json). These pin exact parity with resize.
+
+from mpgan_tpu.ops.upsample import linear_up2, upsample_2d
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 16, 33])
+@pytest.mark.parametrize("axis", [1, 2])
+def test_linear_up2_matches_image_resize(n, axis):
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, n, 5, 3)) if axis == 1
+                    else rng.standard_normal((2, 5, n, 3)), jnp.float32)
+    got = linear_up2(x, axis)
+    shape = list(x.shape)
+    shape[axis] *= 2
+    want = jax.image.resize(x, shape, "linear")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["interleave", "conv_dw", "conv_dense"])
+@pytest.mark.parametrize("fh,fw", [(2, 2), (2, 1), (1, 2)])
+def test_upsample_2d_matches_image_resize(fh, fw, mode):
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 9, 7, 2)), jnp.float32)
+    got = upsample_2d(x, fh, fw, mode=mode)
+    want = jax.image.resize(x, (4, 9 * fh, 7 * fw, 2), "linear")
+    # (2,2) applies the two axes sequentially; bilinear is separable, so the
+    # composition equals the joint resize exactly (up to fp association)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["interleave", "conv_dw", "conv_dense"])
+def test_generator_output_unchanged_by_upsample_mode(mode):
+    # same params, same input: every lowering must reproduce the resize-based
+    # generator to fp tolerance (checkpoint compatibility)
+    from mpgan_tpu.models import generator as G
+    g_fast = G.Generator(factors=((2, 2), (2, 1)), base_filters=16,
+                         upsample_mode=mode)
+    g_ref = G.Generator(factors=((2, 2), (2, 1)), base_filters=16,
+                        upsample_mode="resize")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 8, 4)),
+                    jnp.float32)
+    p = g_fast.init(jax.random.PRNGKey(0), x)
+    out_fast = g_fast.apply(p, x)
+    out_ref = g_ref.apply(p, x)
+    np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+    # and under fade (the other _upsample call site)
+    of = g_fast.apply(p, x, stage=2, alpha=0.3, fade=True)
+    orf = g_ref.apply(p, x, stage=2, alpha=0.3, fade=True)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(orf),
+                               rtol=2e-5, atol=2e-5)
