@@ -118,6 +118,21 @@ def varied_plume_scene(key: jax.Array, res: int, scene: str = "varied",
         solid_at
 
 
+def _frame_progress(f: int) -> None:
+    """Per-frame liveness + fault injection for the retryOnError supervisor
+    (scripts/datagen.py): heartbeat every written frame; MPGAN_FAIL_ONCE
+    kills the process after the first frame unless its sentinel exists
+    (same protocol as train/loop.py's injector, for recovery tests)."""
+    from mpgan_tpu.utils.liveness import touch_heartbeat
+    touch_heartbeat()
+    fail_once = os.environ.get("MPGAN_FAIL_ONCE")
+    if fail_once and not os.path.exists(fail_once):
+        with open(fail_once, "w"):
+            pass
+        print(f"MPGAN_FAIL_ONCE: injected fault after frame {f}", flush=True)
+        os._exit(17)
+
+
 def generate_sim(sim_dir: str, seed: int, res_hi: int, up_res: int,
                  frames: int, warmup: int = 8, with_obstacle: bool = False,
                  save_flags: bool = False,
@@ -193,6 +208,7 @@ def generate_sim(sim_dir: str, seed: int, res_hi: int, up_res: int,
             uni.writeUni(os.path.join(sim_dir, f"flags_{f:04d}.uni"),
                          uni.make_header(flags, grid_type=uni.TYPE_FLAGS),
                          flags)
+        _frame_progress(f)
 
 
 def generate_sim_2d(sim_dir: str, seed: int, res_hi: int, up_res: int,
@@ -249,6 +265,7 @@ def generate_sim_2d(sim_dir: str, seed: int, res_hi: int, up_res: int,
         uni.write_velocity(os.path.join(sim_dir, f"velocity_high_{f:04d}.uni"), v_hi)
         uni.write_density(os.path.join(sim_dir, f"density_low_{f:04d}.uni"), d_lo[..., 0])
         uni.write_velocity(os.path.join(sim_dir, f"velocity_low_{f:04d}.uni"), v_lo)
+        _frame_progress(f)
 
 
 def with_obstacle(sim: int, obstacles_every: int) -> bool:

@@ -33,7 +33,8 @@ cd "$(dirname "$0")/.."
 OUT=${1:-.data/canonical_eval_r04.jsonl}
 
 GEN="timeout 14400 python scripts/datagen.py resHigh 128 frames 48 warmup 8 \
-     pressureSolver cg skipExisting 1 writeHighVel 0 randSeed 0"
+     pressureSolver cg skipExisting 1 writeHighVel 0 randSeed 0 \
+     retryOnError 8 hangTimeout 600"
 $GEN basePath .data/  upRes 4 fromSim 1000 toSim 1010 obstacles 4
 $GEN basePath .data8/ upRes 8 fromSim 2000 toSim 2010 obstacles 1
 

@@ -33,10 +33,26 @@ def _sim_complete(sim_dir: str, frames: int, with_obstacle: bool,
 
 
 def main(argv=None):
+    eff_argv = list(sys.argv[1:]) if argv is None else list(argv)
     if argv is not None:
         ph.setParams(argv)
     cc = ph.getParam("compileCache", "")
     setup_compilation_cache(cc if cc else None)
+    # elastic recovery, datagen flavor (SURVEY.md §5): a jax-free parent
+    # restarts a dead/hung child (tunnel flaps hang backend init — observed
+    # 2026-08-21); restarts are idempotent because retries force
+    # skipExisting 1 and .uni writes are atomic. Heartbeat = one written
+    # frame (solver.datagen touches it in the frame loops).
+    retry_budget = int(ph.getParam("retryOnError", 0))
+    hang_timeout = float(ph.getParam("hangTimeout", 0))
+    if ((retry_budget > 0 or hang_timeout > 0)
+            and not os.environ.get("MPGAN_DATAGEN_CHILD")):
+        from mpgan_tpu.utils.supervise import supervise_restartable
+        sys.exit(supervise_restartable(
+            os.path.abspath(__file__), eff_argv, max(retry_budget, 0),
+            hang_timeout, "MPGAN_DATAGEN_CHILD",
+            heartbeat_dir=ph.getParam("basePath", "data/"),
+            retry_flags=("skipExisting", "1")))
     base = ph.getParam("basePath", "data/")
     from_sim = int(ph.getParam("fromSim", 1000))
     to_sim = int(ph.getParam("toSim", from_sim))

@@ -17,7 +17,7 @@
 set -eu
 cd "$(dirname "$0")/.."
 B=".datad/"
-GEN="timeout 5400 python scripts/datagen.py basePath $B resHigh 64 upRes 4 frames 48 warmup 8 pressureSolver cg skipExisting 1"
+GEN="timeout 5400 python scripts/datagen.py basePath $B resHigh 64 upRes 4 frames 48 warmup 8 pressureSolver cg skipExisting 1 retryOnError 8 hangTimeout 600"
 $GEN fromSim 3000 toSim 3008 scene varied
 $GEN fromSim 3020 toSim 3020 scene moving
 $GEN fromSim 3021 toSim 3021 scene varied-dual

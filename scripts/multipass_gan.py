@@ -230,59 +230,11 @@ def _next_run_index(test_path: str, create: bool = False) -> int:
 
 
 def _run_child_watched(cmd, env, hang_timeout: float, heartbeat: str) -> int:
-    """Run the child, killing it if its heartbeat file goes stale.
-
-    The axon tunnel's observed failure mode is a HANG (backend init or a
-    dispatch blocking forever), not a crash — so liveness is tracked through
-    a heartbeat file the child touches on every dispatch chunk / written
-    frame, and a child silent for ``hang_timeout`` seconds is killed (the
-    supervisor then restarts it like any other death)."""
-    import subprocess
-    import time
-
-    # The parent stamps launch time so a child that hangs before its first
-    # heartbeat (e.g. inside backend init) is still detected — but startup
-    # (imports, data load, cold remote compile: 2-10 min on this tunnel) is
-    # legitimately silent, so until the child's FIRST touch the deadline is
-    # the larger startup grace, not hang_timeout.
-    with open(heartbeat, "w"):
-        pass
-    launch_mtime = os.path.getmtime(heartbeat)
-    grace = max(hang_timeout,
-                float(os.environ.get("MPGAN_STARTUP_GRACE_S", "900")))
-    proc = subprocess.Popen(cmd, env=env)
-    poll_s = max(1.0, min(10.0, hang_timeout / 3))
-    while True:
-        try:
-            return proc.wait(timeout=poll_s)
-        except subprocess.TimeoutExpired:
-            pass
-        try:
-            mtime = os.path.getmtime(heartbeat)
-            stale = time.time() - mtime
-        except OSError:
-            continue
-        limit = hang_timeout if mtime != launch_mtime else grace
-        if stale > limit:
-            # The child may be in post-train teardown (final save done,
-            # interpreter exiting) which doesn't heartbeat; give it a drain
-            # window to exit on its own before concluding it's hung.
-            drain = max(10.0, min(60.0, hang_timeout))
-            try:
-                return proc.wait(timeout=drain)
-            except subprocess.TimeoutExpired:
-                pass
-            try:
-                if os.path.getmtime(heartbeat) != mtime:
-                    continue  # it recovered during the drain (e.g. a slow
-                              # mid-run recompile finished) — not hung
-            except OSError:
-                pass
-            print(f"retryOnError: child silent for {stale + drain:.0f}s "
-                  f"(limit {limit:g}s); killing it", flush=True)
-            proc.kill()
-            proc.wait()
-            return -9
+    """Shared implementation: mpgan_tpu.utils.supervise.run_child_watched
+    (also used by the datagen CLI — the generic hang-watchdog lives there so
+    the liveness contract can't drift between entry points)."""
+    from mpgan_tpu.utils.supervise import run_child_watched
+    return run_child_watched(cmd, env, hang_timeout, heartbeat)
 
 
 def _supervise(argv, retries: int, hang_timeout: float = 0.0,

@@ -447,3 +447,28 @@ def test_resume_index_pins_run_dir_in_multi_config_recipes(workdir, tmp_path):
             "load_model_test 0 load_model_no -1", ok=False)
     assert r.returncode != 0
     assert "holds checkpoints of another pass" in (r.stdout + r.stderr)
+
+
+def test_datagen_retry_on_error_recovery(tmp_path):
+    """datagen retryOnError (r4): the jax-free supervising parent restarts a
+    dead datagen child; retries force skipExisting 1 so completed sims are
+    skipped and the interrupted one is regenerated (atomic .uni writes).
+    MPGAN_FAIL_ONCE kills the child after its first written frame."""
+    sentinel = str(tmp_path / "fail_once")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MPGAN_FAIL_ONCE=sentinel,
+               MPGAN_RETRY_DELAY_S="0")
+    args = (f"basePath {tmp_path}/data/ fromSim 1000 toSim 1001 resHigh 32 "
+            "upRes 4 frames 3 warmup 1 randSeed 1 retryOnError 2")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "datagen.py")]
+        + args.split(),
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=900)
+    assert r.returncode == 0, f"{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    assert os.path.exists(sentinel)  # the fault really fired
+    assert "injected fault" in r.stdout
+    assert "retryOnError: child died" in r.stdout
+    assert "skipped" not in r.stdout.split("injected fault")[0]
+    for sim in (1000, 1001):
+        files = os.listdir(os.path.join(str(tmp_path), "data", f"sim_{sim:04d}"))
+        assert len(files) == 12, (sim, sorted(files))  # 3 frames x 4 files
