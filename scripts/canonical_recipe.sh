@@ -31,6 +31,11 @@
 set -eu
 cd "$(dirname "$0")/.."
 OUT=${1:-.data/canonical_eval_r04.jsonl}
+# Startup grace must cover a COLD remote compile on a degraded tunnel
+# (observed 2026-08-21: a trivial dispatch took 61 s; the GAN program's
+# cold compile blew the 900 s default twice and the watchdog livelocked
+# the child — killed compiles cache nothing, so every retry recompiled).
+export MPGAN_STARTUP_GRACE_S=${MPGAN_STARTUP_GRACE_S:-2400}
 
 GEN="timeout 14400 python scripts/datagen.py resHigh 128 frames 48 warmup 8 \
      pressureSolver cg skipExisting 1 writeHighVel 0 randSeed 0 \
