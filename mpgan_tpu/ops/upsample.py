@@ -94,10 +94,15 @@ def linear_up2_conv(x: jnp.ndarray, axis: int, dense: bool = False) -> jnp.ndarr
     else:
         k = k[None, :]            # (1, 4, I, O)
         lhs_dilation, padding = (1, 2), ((0, 0), (2, 2))
+    # Precision.HIGHEST: jax.image.resize (which this replaces, with an
+    # 'all numerically equal' contract) computes its dot at HIGHEST; the
+    # conv default would demote f32 operands to bf16 on TPU (ADVICE r4).
+    # No-op for the bf16 models the bench A/B measured, so the 1.67x stands.
     out = jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1), padding=padding,
         lhs_dilation=lhs_dilation, feature_group_count=groups,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
     # edge-clamp correction: out[0] and out[2n-1] are missing their
     # out-of-range 0.25 tap, which resize clamps to the edge sample
     n = x.shape[axis]

@@ -15,9 +15,42 @@ no backend.
 from __future__ import annotations
 
 import os
+import signal
 import subprocess
 import sys
 import time
+
+
+def _kill_child_group(proc) -> None:
+    """Kill the child and everything it spawned (it runs in its own session
+    via start_new_session=True), then reap it."""
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError, OSError):
+        try:
+            proc.kill()
+        except OSError:
+            pass
+    proc.wait()
+
+
+def run_child(cmd, env) -> int:
+    """subprocess.call with the same death semantics as run_child_watched:
+    the child gets its own session, and SIGTERM/SIGINT to the supervisor
+    kills the child group before exiting."""
+    proc = subprocess.Popen(cmd, env=env, start_new_session=True)
+
+    def _die(signum, frame):
+        _kill_child_group(proc)
+        raise SystemExit(128 + signum)
+
+    prev = {s: signal.signal(s, _die)
+            for s in (signal.SIGTERM, signal.SIGINT)}
+    try:
+        return proc.wait()
+    finally:
+        for s, h in prev.items():
+            signal.signal(s, h)
 
 
 def run_child_watched(cmd, env, hang_timeout: float, heartbeat: str) -> int:
@@ -36,37 +69,53 @@ def run_child_watched(cmd, env, hang_timeout: float, heartbeat: str) -> int:
     launch_mtime = os.path.getmtime(heartbeat)
     grace = max(hang_timeout,
                 float(os.environ.get("MPGAN_STARTUP_GRACE_S", "900")))
-    proc = subprocess.Popen(cmd, env=env)
+    # Own session so supervisor death can take the whole child tree down —
+    # recipes wrap supervisors in `timeout N`, whose SIGTERM previously hit
+    # only this process and orphaned a (possibly tunnel-hung) child that then
+    # contended for the single host core (ADVICE r4).
+    proc = subprocess.Popen(cmd, env=env, start_new_session=True)
+
+    def _die(signum, frame):
+        _kill_child_group(proc)
+        # raise instead of os._exit so callers' finally blocks (heartbeat /
+        # run-file cleanup) run
+        raise SystemExit(128 + signum)
+
+    prev = {s: signal.signal(s, _die)
+            for s in (signal.SIGTERM, signal.SIGINT)}
     poll_s = max(1.0, min(10.0, hang_timeout / 3))
-    while True:
-        try:
-            return proc.wait(timeout=poll_s)
-        except subprocess.TimeoutExpired:
-            pass
-        try:
-            mtime = os.path.getmtime(heartbeat)
-            stale = time.time() - mtime
-        except OSError:
-            continue
-        limit = hang_timeout if mtime != launch_mtime else grace
-        if stale > limit:
-            # the child may be in teardown (work done, interpreter exiting),
-            # which doesn't heartbeat; give it a drain window first
-            drain = max(10.0, min(60.0, hang_timeout))
+    try:
+        while True:
             try:
-                return proc.wait(timeout=drain)
+                return proc.wait(timeout=poll_s)
             except subprocess.TimeoutExpired:
                 pass
             try:
-                if os.path.getmtime(heartbeat) != mtime:
-                    continue  # recovered during the drain — not hung
+                mtime = os.path.getmtime(heartbeat)
+                stale = time.time() - mtime
             except OSError:
-                pass
-            print(f"retryOnError: child silent for {stale + drain:.0f}s "
-                  f"(limit {limit:g}s); killing it", flush=True)
-            proc.kill()
-            proc.wait()
-            return -9
+                continue
+            limit = hang_timeout if mtime != launch_mtime else grace
+            if stale > limit:
+                # the child may be in teardown (work done, interpreter
+                # exiting), which doesn't heartbeat; give it a drain window
+                drain = max(10.0, min(60.0, hang_timeout))
+                try:
+                    return proc.wait(timeout=drain)
+                except subprocess.TimeoutExpired:
+                    pass
+                try:
+                    if os.path.getmtime(heartbeat) != mtime:
+                        continue  # recovered during the drain — not hung
+                except OSError:
+                    pass
+                print(f"retryOnError: child silent for {stale + drain:.0f}s "
+                      f"(limit {limit:g}s); killing it", flush=True)
+                _kill_child_group(proc)
+                return -9
+    finally:
+        for s, h in prev.items():
+            signal.signal(s, h)
 
 
 def supervise_restartable(script: str, argv, retries: int,
@@ -98,7 +147,7 @@ def supervise_restartable(script: str, argv, retries: int,
             if heartbeat:
                 rc = run_child_watched(cmd, env, hang_timeout, heartbeat)
             else:
-                rc = subprocess.call(cmd, env=env)
+                rc = run_child(cmd, env)
             if rc == 0:
                 return 0
             failures += 1

@@ -82,6 +82,13 @@ FROM=2000 TO=2009; chain .data8/ .data8/runs8c/ 8
 
 run_eval() {  # run_eval <label> <args...>
   local label=$1; shift
+  # idempotent across relaunches: a label with a landed result is skipped
+  # (evals run JAX_PLATFORMS=cpu on the single host core — redoing them
+  # starves anything else running; error rows ARE retried)
+  if grep -q "\"config\": \"$label\", \"result\"" "$OUT" 2>/dev/null; then
+    echo "EVAL $label: already landed, skipping" >&2
+    return 0
+  fi
   echo "EVAL $label" >&2
   local line
   line=$(JAX_PLATFORMS=cpu timeout 5400 python scripts/eval.py "$@" \
@@ -94,7 +101,7 @@ run_eval() {  # run_eval <label> <args...>
   fi
 }
 
-: > "$OUT"
+touch "$OUT"
 E4="basePath .data/ fromSim 1010 toSim 1010 frameMin 8 frameMax 48 upRes 4 \
     tileSizeLow 16 useVelocities 1 testPath .data/runs4c/"
 E8="basePath .data8/ fromSim 2010 toSim 2010 frameMin 8 frameMax 48 upRes 8 \

@@ -68,24 +68,35 @@ run_eval threepass_l1p3     0 1 5 -- load_model_test 0 load_model_no -1 \
 cat "$OUT"
 
 # bundle the generator checkpoints that back the rows (survives scratch
-# wipes; tests/test_quality.py-style gates can pin them)
-python - <<'PY'
-import json, os, shutil
-rows = [json.loads(l) for l in open(".data/canonical_eval4x_r04.jsonl")]
+# wipes; tests/test_quality.py-style gates can pin them). The need-set is
+# keyed on EVERY row that used a run index (ADVICE r4: the old logic lost
+# run 0 when only g1_l1 evaluated, and run 2 when only the non-ema ganft
+# row did); the ema row additionally bundles the gen_ema checkpoint.
+python - "$OUT" <<'PY'
+import json, os, shutil, sys
+rows = [json.loads(l) for l in open(sys.argv[1])]
 ok = {r["config"] for r in rows if "result" in r}
 runs = {0: "g1_l1_4x", 1: "g2_l1_4x", 2: "g1_ganft_4x",
         3: "g1_scratch_4x", 4: "g2_scratch_4x", 5: "g3_l1p3_4x"}
+# mirror run_eval's needs lists exactly
+row_needs = {"4x_g1_l1": {0}, "4x_twopass_l1": {0, 1},
+             "4x_twopass_ganft_lazyr1": {2, 1},
+             "4x_twopass_ganft_lazyr1_ema": {2, 1},
+             "4x_twopass_ganscratch": {3, 4},
+             "4x_threepass_l1p3": {0, 1, 5}}
 need = set()
-if "4x_twopass_l1" in ok: need |= {0, 1}
-if "4x_twopass_ganft_lazyr1_ema" in ok: need |= {2}
-if "4x_twopass_ganscratch" in ok: need |= {3, 4}
-if "4x_threepass_l1p3" in ok: need |= {5}
-for idx in sorted(need):
-    rd = f".data/runs4c/test_{idx:04d}"
-    models = sorted(int(d.split("_")[1]) for d in os.listdir(rd)
-                    if d.startswith("gen_"))
-    src = os.path.join(rd, f"gen_{models[-1]:04d}")
-    dst = os.path.join("examples/checkpoints", runs[idx])
+for label, idxs in row_needs.items():
+    if label in ok:
+        need |= idxs
+
+def bundle(rd, prefix, dst_name):
+    # exact prefix + digits: "gen_" must not match "gen_ema_0003"
+    models = sorted(int(d[len(prefix):]) for d in os.listdir(rd)
+                    if d.startswith(prefix) and d[len(prefix):].isdigit())
+    if not models:
+        return
+    src = os.path.join(rd, f"{prefix}{models[-1]:04d}")
+    dst = os.path.join("examples/checkpoints", dst_name)
     if os.path.isdir(dst):
         shutil.rmtree(dst)
     shutil.copytree(src, dst)
@@ -93,5 +104,11 @@ for idx in sorted(need):
     with open(dst + ".json", "w") as f:
         json.dump(meta, f)
     print("bundled", dst, f"({meta.get('it')} iters)")
+
+for idx in sorted(need):
+    rd = f".data/runs4c/test_{idx:04d}"
+    bundle(rd, "gen_", runs[idx])
+if "4x_twopass_ganft_lazyr1_ema" in ok:
+    bundle(".data/runs4c/test_0002", "gen_ema_", "g1_ganft_ema_4x")
 PY
 echo HARVEST_DONE

@@ -245,7 +245,6 @@ def _supervise(argv, retries: int, hang_timeout: float = 0.0,
     run dir so restarts skip already-written frames. ``hang_timeout`` > 0
     additionally kills a child whose heartbeat goes stale that long — set
     it well above a cold remote compile (2-10 min on this tunnel)."""
-    import subprocess
     import time
 
     env = dict(os.environ, MPGAN_TRAIN_CHILD="1")
@@ -307,7 +306,8 @@ def _supervise(argv, retries: int, hang_timeout: float = 0.0,
                 rc = _run_child_watched(cmd, attempt_env, hang_timeout,
                                         heartbeat)
             else:
-                rc = subprocess.call(cmd, env=attempt_env)
+                from mpgan_tpu.utils.supervise import run_child
+                rc = run_child(cmd, attempt_env)
             if rc == 0:
                 return 0
             failures += 1
