@@ -6,6 +6,8 @@ import pytest
 
 from mpgan_tpu.utils.metrics import ssim_volume
 
+pytestmark = pytest.mark.quick
+
 
 def _rand_vol(shape, seed=0):
     return np.random.default_rng(seed).random(shape, dtype=np.float32)

@@ -1,6 +1,7 @@
 """Model tests: shapes per stage/pass, growth subtree property, fade blending
 (SURVEY.md §2.7–2.9, §4(4))."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -8,6 +9,8 @@ import jax.numpy as jnp
 from mpgan_tpu.models import discriminator as D
 from mpgan_tpu.models import generator as G
 from mpgan_tpu.models import growing
+
+pytestmark = pytest.mark.quick
 
 
 def test_pass1_generator_shapes_all_stages():

@@ -242,6 +242,8 @@ def test_transforms_compose_under_vmap():
 
 from mpgan_tpu.ops.upsample import linear_up2, upsample_2d
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.mark.parametrize("n", [1, 2, 3, 16, 33])
 @pytest.mark.parametrize("axis", [1, 2])

@@ -5,6 +5,8 @@ import pytest
 from mpgan_tpu import config as cfg
 from mpgan_tpu.utils import params as ph
 
+pytestmark = pytest.mark.quick
+
 
 def test_getparam_returns_following_token_as_string():
     ph.setParams(["batchSize", "32", "basePath", "../data/"])

@@ -7,6 +7,8 @@ import pytest
 
 from mpgan_tpu.ops import s2d
 
+pytestmark = pytest.mark.quick
+
 
 def _conv3(x, w, b=None):
     y = lax.conv_general_dilated(x, w, (1, 1), "SAME",

@@ -37,6 +37,7 @@ def _config(stages=1, temporal=False, growing=False, batch=4, tile=8):
 
 # ----------------------------------------------------------------- losses
 
+@pytest.mark.quick
 def test_bce_logits_matches_reference_values():
     logits = jnp.asarray([0.0, 2.0, -2.0])
     got = float(losses.bce_logits(logits, 1.0))
@@ -44,6 +45,7 @@ def test_bce_logits_matches_reference_values():
     assert abs(got - want) < 1e-5
 
 
+@pytest.mark.quick
 def test_align_triplet_static_scene_is_constant():
     """Zero velocity: aligned triplet = raw stack."""
     rng = np.random.default_rng(0)
@@ -55,6 +57,7 @@ def test_align_triplet_static_scene_is_constant():
                                atol=1e-6)
 
 
+@pytest.mark.quick
 def test_align_triplet_compensates_translation():
     """A scene translating with uniform velocity must align to ~identical
     channels after warping (interior pixels)."""
@@ -430,6 +433,7 @@ def test_checkpoint_save_overwrites_existing_dir(tmp_path):
     np.testing.assert_array_equal(w1, w2)
 
 
+@pytest.mark.quick
 def test_label_smooth_rejected_outside_sce_lsgan():
     r, f = jnp.asarray([1.0]), jnp.asarray([-1.0])
     for mode in ("hinge", "wgan"):
@@ -437,6 +441,7 @@ def test_label_smooth_rejected_outside_sce_lsgan():
             losses.d_loss(r, f, 0.1, mode=mode)
 
 
+@pytest.mark.quick
 def test_pick_dispatch_k():
     from mpgan_tpu.train.loop import pick_dispatch_k
     # in-process backend (tiny RPC): stay at 1 for determinism
@@ -615,6 +620,7 @@ def test_disc_and_gen_runs_ratio():
 
 # ------------------------------------------------- GAN loss modes (§2.8 note)
 
+@pytest.mark.quick
 def test_gan_loss_mode_values():
     """lsgan/hinge/wgan against hand-computed values on fixed logits."""
     r = jnp.asarray([2.0, 0.0])
@@ -632,6 +638,7 @@ def test_gan_loss_mode_values():
         losses.d_loss(r, f, mode="nope")
 
 
+@pytest.mark.quick
 def test_r1_penalty_linear_disc_analytic():
     """For D(x) = <c, x>, grad_x D = c so the penalty is sum(c^2) exactly."""
     rng = np.random.default_rng(3)
@@ -642,6 +649,7 @@ def test_r1_penalty_linear_disc_analytic():
     assert abs(got - float(jnp.sum(c ** 2))) < 1e-4
 
 
+@pytest.mark.quick
 def test_gradient_penalty_unit_gradient_is_zero():
     """A critic with unit input-gradient norm incurs zero WGAN-GP."""
     rng = np.random.default_rng(4)

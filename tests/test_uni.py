@@ -8,6 +8,8 @@ import pytest
 
 from mpgan_tpu.io import uni
 
+pytestmark = pytest.mark.quick
+
 
 def test_density_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
