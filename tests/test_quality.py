@@ -105,6 +105,9 @@ GATED_CKPTS = {
     "g2_l1_4x": "test_4x_canonical_twopass_l1_bundled_floor",
     "g1_ganft_4x": "test_4x_canonical_ganft_bundled_floor",
     "g1_ganft_ema_4x": "test_4x_canonical_ganft_bundled_floor",
+    "g1_scratch_4x": "test_4x_canonical_scratch_bundled_floor",
+    "g2_scratch_4x": "test_4x_canonical_scratch_bundled_floor",
+    "g3_l1p3_4x": "test_4x_canonical_threepass_bundled_floor",
 }
 UNGATED_CKPTS: dict = {}
 
@@ -184,6 +187,41 @@ def test_4x_canonical_ganft_bundled_floor():
         assert psnr >= tri + 5.0, (name, psnr, tri)
         assert psnr >= 34.0, (name, psnr)
         assert ssim >= tri_ssim + 0.02, (name, ssim, tri_ssim)
+
+
+def test_4x_canonical_scratch_bundled_floor():
+    """Gate over the from-scratch progressive-GAN two-pass pair (canonical
+    runs 3+4, hinge + R1 + TTUR, no L1 warm start — the robustness result).
+    Measured on the bundled frame: 35.92 dB / 0.9912."""
+    psnr, ssim, tri, tri_ssim = _two_pass_4x("g1_scratch_4x",
+                                             "g2_scratch_4x", "sim_1010c", 12)
+    assert psnr >= tri + 5.0, (psnr, tri)
+    assert psnr >= 34.0, psnr
+    assert ssim >= tri_ssim + 0.02, (ssim, tri_ssim)
+
+
+def test_4x_canonical_threepass_bundled_floor():
+    """Gate over the L1 yz refiner (canonical run 5) stacked on the L1
+    two-pass chain: pass 3 must not meaningfully hurt (eval-mean it's
+    32.40 vs 32.42 two-pass; on this frame 36.04 vs 36.08)."""
+    up, stages = 4, 2
+    g1 = G.make_pass1(stages, 32, 2, dtype=jnp.float32)
+    g2 = G.make_pass2(stages, 32, 2, dtype=jnp.float32)
+    g3 = G.make_pass3(32, 2, dtype=jnp.float32)
+    p1 = _restore("g1_l1_4x", g1.init(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 16, 16, 4))))
+    p2 = _restore("g2_l1_4x", g2.init(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 16, 16 * up, 4))))
+    p3 = _restore("g3_l1p3_4x", g3.init(jax.random.PRNGKey(0),
+                                        jnp.zeros((1, 128, 128, 4))))
+    d, lr, gt = _load_frame("sim_1010c", 12)
+    out2 = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=up))
+    out3 = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=up,
+                                              gen3=g3, params3=p3))
+    psnr2, psnr3 = assemble.psnr_volume(out2, gt), assemble.psnr_volume(out3, gt)
+    tri = assemble.psnr_volume(_trilinear(d, up), gt)
+    assert psnr3 >= tri + 5.0, (psnr3, tri)
+    assert psnr3 >= psnr2 - 0.2, (psnr3, psnr2)
 
 
 def test_4x_gan_ema_demo_pair_psnr_floor():
