@@ -108,6 +108,10 @@ GATED_CKPTS = {
     "g1_scratch_4x": "test_4x_canonical_scratch_bundled_floor",
     "g2_scratch_4x": "test_4x_canonical_scratch_bundled_floor",
     "g3_l1p3_4x": "test_4x_canonical_threepass_bundled_floor",
+    "g1_l1_8x": "test_8x_canonical_twopass_l1_bundled_floor",
+    "g2_l1_8x": "test_8x_canonical_twopass_l1_bundled_floor",
+    "g1_ganft_8x": "test_8x_canonical_ganft_bundled_floor",
+    "g1_ganft_ema_8x": "test_8x_canonical_ganft_bundled_floor",
 }
 UNGATED_CKPTS: dict = {}
 
@@ -135,7 +139,7 @@ def test_bundled_artifacts_inventory_complete():
         if not os.listdir(os.path.join(ckpt_dir, name)):
             missing.append(f"checkpoints/{name} (empty)")
     data = [("sim_1010", [12]), ("sim_1010c", [12]), ("sim_2010", [24]),
-            ("sim_3020", [29, 30, 31])]
+            ("sim_2010c", [24]), ("sim_3020", [29, 30, 31])]
     for sim, frames in data:
         for f in frames:
             for stem in ("density_low", "velocity_low", "density_high"):
@@ -145,10 +149,11 @@ def test_bundled_artifacts_inventory_complete():
     assert not missing, f"bundled quality-gate artifacts missing: {missing}"
 
 
-def _two_pass_4x(name1, name2, sim, frame):
-    """Shared driver: restore a (pass-1, pass-2) 4x pair, upscale one bundled
-    frame, and return (psnr, ssim, trilinear psnr, trilinear ssim)."""
-    up, stages = 4, 2
+def _two_pass_4x(name1, name2, sim, frame, up=4):
+    """Shared driver: restore a (pass-1, pass-2) pair at factor ``up``,
+    upscale one bundled frame, and return
+    (psnr, ssim, trilinear psnr, trilinear ssim)."""
+    stages = {4: 2, 8: 3}[up]
     g1 = G.make_pass1(stages, 32, 2, dtype=jnp.float32)
     g2 = G.make_pass2(stages, 32, 2, dtype=jnp.float32)
     p1 = _restore(name1, g1.init(jax.random.PRNGKey(0),
@@ -305,6 +310,30 @@ def test_4x_diverse_model_ood_generalization_floor():
     ssim = metrics.ssim_volume(out, gt)
     ssim_tri = metrics.ssim_volume(tri_vol, gt)
     assert ssim >= ssim_tri, (ssim, ssim_tri)
+
+
+def test_8x_canonical_twopass_l1_bundled_floor():
+    """Gate over the r5 canonical-rerun 8x L1 pair (canonical_recipe.sh 8x
+    runs 0+1, eval row 8x_twopass_l1: 26.74 dB mean, trilinear 22.80) on the
+    bundled regenerated-holdout frame (sim_2010c frame 24).
+    Measured on this frame: 26.98 / 0.9564 vs trilinear 22.39 / 0.8183."""
+    psnr, ssim, tri, tri_ssim = _two_pass_4x("g1_l1_8x", "g2_l1_8x",
+                                             "sim_2010c", 24, up=8)
+    assert psnr >= tri + 3.5, (psnr, tri)
+    assert psnr >= 26.0, psnr
+    assert ssim >= tri_ssim + 0.10, (ssim, tri_ssim)
+
+
+def test_8x_canonical_ganft_bundled_floor():
+    """Gate over the canonical 8x GAN fine-tune G1 and its EMA twin through
+    the canonical L1 pass-2. Measured: raw 26.64 / 0.9533, EMA 26.93 /
+    0.9560 (the EMA recovering most of the adversarial PSNR cost)."""
+    for name in ("g1_ganft_8x", "g1_ganft_ema_8x"):
+        psnr, ssim, tri, tri_ssim = _two_pass_4x(name, "g2_l1_8x",
+                                                 "sim_2010c", 24, up=8)
+        assert psnr >= tri + 3.0, (name, psnr, tri)
+        assert psnr >= 25.5, (name, psnr)
+        assert ssim >= tri_ssim + 0.10, (name, ssim, tri_ssim)
 
 
 def test_8x_progressive_bundled_psnr_floor():
