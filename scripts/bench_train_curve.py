@@ -47,14 +47,16 @@ def main():
         print(f"b{batch} tile{tile}: {r['value']} steps/s "
               f"({r['samples_per_sec']} samples/s, K={r['steps_per_dispatch']})",
               flush=True)
-    doc = {
-        "metric": "train steps/sec vs (batch, tile), flagship 4x GAN recipe",
-        "platform": jax.devices()[0].platform,
-        "device_kind": jax.devices()[0].device_kind,
-        "points": results,
-    }
-    with open(out_path, "w") as f:
-        json.dump(doc, f, indent=1)
+        # write after EVERY point: cold remote compiles cost tens of minutes
+        # per point on this tunnel, and a partial curve must survive a kill
+        doc = {
+            "metric": "train steps/sec vs (batch, tile), flagship 4x GAN recipe",
+            "platform": jax.devices()[0].platform,
+            "device_kind": jax.devices()[0].device_kind,
+            "points": results,
+        }
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=1)
     print(json.dumps({"written": out_path, "n_points": len(results)}))
 
 
