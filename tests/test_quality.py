@@ -112,6 +112,9 @@ GATED_CKPTS = {
     "g2_l1_8x": "test_8x_canonical_twopass_l1_bundled_floor",
     "g1_ganft_8x": "test_8x_canonical_ganft_bundled_floor",
     "g1_ganft_ema_8x": "test_8x_canonical_ganft_bundled_floor",
+    "g1_scratch_8x": "test_8x_canonical_scratch_bundled_floor",
+    "g2_scratch_8x": "test_8x_canonical_scratch_bundled_floor",
+    "g3_l1p3_8x": "test_8x_canonical_threepass_bundled_floor",
 }
 UNGATED_CKPTS: dict = {}
 
@@ -334,6 +337,45 @@ def test_8x_canonical_ganft_bundled_floor():
         assert psnr >= tri + 3.0, (name, psnr, tri)
         assert psnr >= 25.5, (name, psnr)
         assert ssim >= tri_ssim + 0.10, (name, ssim, tri_ssim)
+
+
+def test_8x_canonical_scratch_bundled_floor():
+    """Gate over the 8x from-scratch progressive-GAN pair (canonical runs
+    3+4). Weakest canonical config (eval mean 24.48 vs trilinear 22.80 —
+    from-scratch trails the warm start by ~1.75 dB at 8x) but must still
+    beat trilinear. Measured on the bundled frame: 24.84 / 0.9371 vs
+    22.39 / 0.8183."""
+    psnr, ssim, tri, tri_ssim = _two_pass_4x("g1_scratch_8x",
+                                             "g2_scratch_8x", "sim_2010c",
+                                             24, up=8)
+    assert psnr >= tri + 1.8, (psnr, tri)
+    assert psnr >= 24.0, psnr
+    assert ssim >= tri_ssim + 0.08, (ssim, tri_ssim)
+
+
+def test_8x_canonical_threepass_bundled_floor():
+    """Gate over the 8x L1 yz refiner (canonical run 5) on the L1 chain —
+    the BEST canonical 8x config (eval mean 27.35, +0.60 over two-pass).
+    Measured on the bundled frame: 27.44 vs two-pass 26.98."""
+    up, stages = 8, 3
+    g1 = G.make_pass1(stages, 32, 2, dtype=jnp.float32)
+    g2 = G.make_pass2(stages, 32, 2, dtype=jnp.float32)
+    g3 = G.make_pass3(32, 2, dtype=jnp.float32)
+    p1 = _restore("g1_l1_8x", g1.init(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 16, 16, 4))))
+    p2 = _restore("g2_l1_8x", g2.init(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 16, 16 * up, 4))))
+    p3 = _restore("g3_l1p3_8x", g3.init(jax.random.PRNGKey(0),
+                                        jnp.zeros((1, 128, 128, 4))))
+    d, lr, gt = _load_frame("sim_2010c", 24)
+    out2 = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=up))
+    out3 = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=up,
+                                              gen3=g3, params3=p3))
+    psnr2, psnr3 = assemble.psnr_volume(out2, gt), assemble.psnr_volume(out3, gt)
+    tri = assemble.psnr_volume(_trilinear(d, up), gt)
+    assert psnr3 >= tri + 4.0, (psnr3, tri)
+    assert psnr3 >= psnr2 - 0.1, (psnr3, psnr2)  # measured +0.47
+    assert psnr3 >= 26.5, psnr3
 
 
 def test_8x_progressive_bundled_psnr_floor():
