@@ -142,6 +142,80 @@ def upscale_volume(gen1, params1, gen2, params2, lr_vol: jnp.ndarray,
     return out
 
 
+def upscale_volume_streamed(gen1, params1, gen2, params2, lr_vol, up_res: int,
+                            chunk: int, stage: int | None = None,
+                            chunk1: int | None = None) -> np.ndarray:
+    """Two-pass SR with HOST-streamed pass-2 assembly: the final volume never
+    materializes in HBM, so OUTPUT sizes beyond device memory become possible
+    on one chip (2048³ bf16 alone is 17 GB > a v5e's 16 GB — `sliceChunk`
+    bounds activations but `upscale_volume` still allocates the result).
+
+    Pass 1 runs on device (the intermediate (Z, Y·s, X·s, 1) is s× smaller
+    than the output and must fit). Pass 2 then runs one ``chunk`` of xz
+    slices at a time — each chunk's input is sliced from the device-resident
+    intermediate, its velocity window computed EXACTLY with
+    ``jax.image.scale_and_translate`` (resize output rows [y0, y0+chunk) are
+    a translation of the resize kernel, so the window equals the
+    corresponding rows of the full resize bit-for-bit) — and each chunk's
+    output is fetched to the host and written into a preallocated float32
+    array while the next chunk computes.
+
+    Returns (Z·s, Y·s, X·s, 1) float32 on host. Equality vs the in-HBM path
+    is tested in tests/test_infer.py.
+    """
+    lr_vol = jnp.asarray(lr_vol)
+    # pass-1 gets its own (usually smaller) chunk: at the sizes this path
+    # exists for, per-slice activations are ~H·W·filters (≈268 MB bf16 at
+    # 2048², so 64 slices of EITHER pass is a 17 GB chunk — over HBM)
+    interm = pass1_volume(gen1, params1, lr_vol, stage=stage,
+                          chunk=chunk if chunk1 is None else chunk1)
+    z, y, x, c = lr_vol.shape
+    zs, ys, xs = z * up_res, y * up_res, x * up_res
+    lr_vel = lr_vol[..., 1:4] if c >= 4 else None
+    dt = getattr(gen2, "dtype", interm.dtype)
+    s = float(up_res)
+
+    @partial(jax.jit, static_argnames=("rows",))
+    def chunk_fn(p2, interm_, vel_, y0, rows):
+        # rows of the intermediate, transposed to xz-slice batch layout
+        part = jax.lax.dynamic_slice_in_dim(interm_, y0, rows, axis=1)
+        slices = jnp.transpose(part.astype(dt), (1, 0, 2, 3))
+        if vel_ is not None:
+            # exact window of jax.image.resize(vel, (z, ys, xs)): resize ==
+            # scale_and_translate at translation 0 (the half-pixel alignment
+            # is internal to its kernel), so output rows [y0, y0+rows) are
+            # translation −y0 — verified bit-close vs resize in test_infer
+            # scale/translation stay f32: bf16 cannot represent row offsets
+            # past 256 exactly (8 mantissa bits), which would shear the
+            # velocity windows of large volumes
+            neg_y0 = -jnp.asarray(y0, jnp.float32)
+            vel_w = jax.image.scale_and_translate(
+                vel_.astype(dt), (z, rows, xs, 3), (1, 2),
+                scale=jnp.asarray([s, s], jnp.float32),
+                translation=jnp.stack([neg_y0,
+                                       jnp.zeros((), jnp.float32)]),
+                method="linear")
+            vel_w = vel_w[..., jnp.asarray([0, 2, 1])]  # xz plane: [vx,vz,vy]
+            slices = jnp.concatenate(
+                [slices, jnp.transpose(vel_w, (1, 0, 2, 3))], axis=-1)
+        out = gen2.apply(p2, slices, stage=stage)   # (rows, Z·s, X·s, 1)
+        return jnp.transpose(out, (1, 0, 2, 3))     # (Z·s, rows, X·s, 1)
+
+    final = np.empty((zs, ys, xs, 1), np.float32)
+    pending = None  # overlap: fetch chunk k while chunk k+1 computes
+    for y0 in range(0, ys, chunk):
+        rows = min(chunk, ys - y0)
+        dev = chunk_fn(params2, interm, lr_vel, y0, rows)
+        if pending is not None:
+            p_y0, p_dev = pending
+            final[:, p_y0:p_y0 + p_dev.shape[1]] = np.asarray(
+                p_dev, dtype=np.float32)
+        pending = (y0, dev)
+    p_y0, p_dev = pending
+    final[:, p_y0:p_y0 + p_dev.shape[1]] = np.asarray(p_dev, dtype=np.float32)
+    return final
+
+
 def make_jitted_upscaler(gen1, params1, gen2, params2, up_res: int,
                          stage: int | None = None, chunk: int = 0, mesh=None,
                          gen3=None, params3=None):

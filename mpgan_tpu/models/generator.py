@@ -29,7 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mpgan_tpu.ops.upsample import upsample_2d
+from mpgan_tpu.ops.upsample import upsample_2d, upsample_any
 
 
 def _upsample(x: jnp.ndarray, fh: int, fw: int, method: str = "linear",
@@ -37,12 +37,17 @@ def _upsample(x: jnp.ndarray, fh: int, fw: int, method: str = "linear",
     b, h, w, c = x.shape
     if fh == 1 and fw == 1:
         return x
-    if mode != "resize" and method == "linear" and fh in (1, 2) and fw in (1, 2):
-        # layout-preserving exact 2x path (ops/upsample.py): same bilinear
-        # weights as jax.image.resize, but avoids its dot_general lowering,
+    if mode != "resize" and method == "linear":
+        # layout-preserving exact conv paths (ops/upsample.py): same linear
+        # weights as jax.image.resize, but avoid its dot_general lowering,
         # whose layout island costs 39% of pass-2 inference in relayout
-        # copies (.profiles/pass2/per_op_breakdown.json)
-        return upsample_2d(x, fh, fw, mode=mode)
+        # copies (.profiles/pass2/per_op_breakdown.json) and whose tile
+        # padding OOMs the 2048³ streamed path (linear_up_conv docstring)
+        if fh in (1, 2) and fw in (1, 2):
+            return upsample_2d(x, fh, fw, mode=mode)
+        if fh in (1, 2, 4, 8) and fw in (1, 2, 4, 8):
+            # one-shot larger factors (the global skip): single dilated conv
+            return upsample_any(x, fh, fw)
     return jax.image.resize(x, (b, h * fh, w * fw, c), method=method)
 
 
@@ -144,7 +149,8 @@ class Generator(nn.Module):
             for (a, b) in self.factors[:stage]:
                 fh *= a
                 fw *= b
-            out = out + _upsample(dens_in, fh, fw).astype(self.dtype)
+            out = out + _upsample(dens_in, fh, fw,
+                                  mode=self.upsample_mode).astype(self.dtype)
         return out.astype(self.out_dtype or jnp.float32)
 
 

@@ -118,6 +118,74 @@ def linear_up2_conv(x: jnp.ndarray, axis: int, dense: bool = False) -> jnp.ndarr
     return out
 
 
+def linear_up_conv(x: jnp.ndarray, axis: int, s: int) -> jnp.ndarray:
+    """Exact ONE-SHOT s× linear (half-pixel, edge-clamped) upsample along
+    ``axis`` as a single lhs-dilated dense-diagonal conv — the generalization
+    of ``linear_up2_conv`` to arbitrary integer factors (the generator's
+    global skip upsamples by the one-shot product factor, 4 or 8, which is
+    NOT equal to iterated 2× resizes).
+
+    Derivation: resize output j samples input position p = (j+0.5)/s − 0.5
+    with linear (two-tap) weights; as a conv over the s-dilated input with
+    kernel index u ↔ offset d = pad_lo − u, the tap weight is
+    w(d) = 1 − |(d+0.5)/s − 0.5|, nonzero for exactly 2s integer offsets.
+    Besides killing the resize dot_general's layout island (r4), this also
+    avoids its catastrophic tile-padding at large slice chunks — the
+    [2048, B, 1, 2048] dot_general intermediate pads 64 MB to 8 GB (128×)
+    and OOMs the 2048³ streamed path outright.
+
+    Equality-tested vs ``jax.image.resize`` for s ∈ {2, 4, 8} in
+    tests/test_ops.py.
+    """
+    if s == 1:
+        return x
+    axis = axis % x.ndim
+    assert x.ndim == 4 and axis in (1, 2), (x.shape, axis)
+    assert s % 2 == 0, s
+    c = x.shape[3]
+    dt = x.dtype
+    pad = (3 * s - 2) // 2
+    taps = jnp.asarray(
+        [1.0 - abs((pad - u + 0.5) / s - 0.5) for u in range(2 * s)], dt)
+    k = taps[:, None, None] * jnp.eye(c, dtype=dt)  # (2s, C, C)
+    if axis == 1:
+        k = k[:, None]
+        lhs_dilation, padding = (s, 1), ((pad, pad), (0, 0))
+    else:
+        k = k[None, :]
+        lhs_dilation, padding = (1, s), ((0, 0), (pad, pad))
+    out = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding=padding,
+        lhs_dilation=lhs_dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    # edge clamp: the first/last s/2 outputs sample past the edge; resize
+    # clamps that tap to the edge sample, the dilated conv zero-padded it
+    n = x.shape[axis]
+    x_first = [slice(None)] * 4
+    x_last = [slice(None)] * 4
+    x_first[axis], x_last[axis] = 0, n - 1
+    for j in range(s // 2):
+        w = jnp.asarray(0.5 - (j + 0.5) / s, dt)
+        o_first = [slice(None)] * 4
+        o_last = [slice(None)] * 4
+        o_first[axis], o_last[axis] = j, s * n - 1 - j
+        out = out.at[tuple(o_first)].add(x[tuple(x_first)] * w)
+        out = out.at[tuple(o_last)].add(x[tuple(x_last)] * w)
+    return out
+
+
+def upsample_any(x: jnp.ndarray, fh: int, fw: int) -> jnp.ndarray:
+    """One-shot (fh, fw) linear upsample via ``linear_up_conv`` per axis —
+    numerically equal to ``jax.image.resize`` at the same one-shot factors
+    (separable kernel: per-axis application equals the 2-D resize)."""
+    if fh > 1:
+        x = linear_up_conv(x, 1, fh)
+    if fw > 1:
+        x = linear_up_conv(x, 2, fw)
+    return x
+
+
 def upsample_2d(x: jnp.ndarray, fh: int, fw: int,
                 mode: str = "conv_dw") -> jnp.ndarray:
     """Per-stage slice-batch upsample ``(B, H, W, C) -> (B, fh*H, fw*W, C)``.

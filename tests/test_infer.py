@@ -220,3 +220,31 @@ def test_load_generator_vorticity_channels(tmp_path):
     gen, params = load_generator(cfg, 1, 0, 0)
     out = gen.apply(params, jnp.zeros((2, 8, 8, 7)))
     assert out.shape == (2, 16, 16, 1)
+
+
+def test_streamed_assembly_matches_in_memory_path():
+    """upscale_volume_streamed (host-streamed pass-2, the beyond-HBM-OUTPUT
+    path) must equal upscale_volume exactly — including the per-chunk
+    velocity windows computed via scale_and_translate, whose values must be
+    bit-identical to the corresponding rows of the full jax.image.resize."""
+    g1, p1, g2, p2 = _gens(stages=1)
+    lr = jnp.asarray(np.random.default_rng(7).random((6, 8, 10, 4), np.float32))
+    ref = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=2),
+                     np.float32)
+    for chunk in (4, 5, 16):  # divisor, non-divisor, > Ys
+        got = assemble.upscale_volume_streamed(g1, p1, g2, p2, lr, up_res=2,
+                                               chunk=chunk)
+        np.testing.assert_allclose(got, ref, atol=2e-6, err_msg=f"chunk={chunk}")
+
+
+def test_streamed_assembly_density_only():
+    g1 = G.make_pass1(1, base_filters=8, n_res_blocks=1)
+    g2 = G.make_pass2(1, base_filters=8, n_res_blocks=1)
+    p1 = g1.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 1)))
+    p2 = g2.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 16, 1)))
+    lr = jnp.asarray(np.random.default_rng(3).random((6, 8, 8, 1), np.float32))
+    ref = np.asarray(assemble.upscale_volume(g1, p1, g2, p2, lr, up_res=2),
+                     np.float32)
+    got = assemble.upscale_volume_streamed(g1, p1, g2, p2, lr, up_res=2,
+                                           chunk=4)
+    np.testing.assert_allclose(got, ref, atol=2e-6)

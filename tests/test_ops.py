@@ -293,3 +293,22 @@ def test_generator_output_unchanged_by_upsample_mode(mode):
     orf = g_ref.apply(p, x, stage=2, alpha=0.3, fade=True)
     np.testing.assert_allclose(np.asarray(of), np.asarray(orf),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_linear_up_conv_one_shot_matches_resize():
+    """One-shot s× conv upsample (generator global skip) == jax.image.resize
+    for every factor the model uses, incl. anisotropic combinations."""
+    from mpgan_tpu.ops.upsample import linear_up_conv, upsample_any
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, 12, 10, 4).astype(np.float32))
+    for s in (2, 4, 8):
+        for axis in (1, 2):
+            shape = list(x.shape)
+            shape[axis] *= s
+            ref = jax.image.resize(x, shape, "linear")
+            got = linear_up_conv(x, axis, s)
+            assert float(jnp.max(jnp.abs(got - ref))) < 1e-5, (s, axis)
+    for fh, fw in ((4, 4), (8, 8), (8, 1), (4, 1), (1, 4)):
+        ref = jax.image.resize(x, (3, 12 * fh, 10 * fw, 4), "linear")
+        got = upsample_any(x, fh, fw)
+        assert float(jnp.max(jnp.abs(got - ref))) < 1e-5, (fh, fw)
