@@ -103,6 +103,14 @@ class Generator(nn.Module):
     # pass-1 5.96 -> 5.48 ms; interleave LOSES (materialized concats, 2.2x
     # bytes) and conv_dw trails conv_dense slightly (VPU vs MXU path)
     upsample_mode: str = "conv_dense"
+    # global-skip lowering, separate knob: at the bench's 4x shapes the
+    # one-shot resize is ~2% FASTER than the dilated-conv form (measured r5:
+    # 8.71e8 vs 8.53e8 vox/s), so "resize" stays the default — but at large
+    # slice planes with small chunks the resize/dot_general (and the C=1
+    # conv-output layout it feeds) tile-pads catastrophically, so the
+    # host-streamed beyond-HBM path constructs generators with
+    # skip_mode="conv_dense" (ops/upsample.linear_up_conv docstring)
+    skip_mode: str = "resize"
 
     def _stage_filters(self, k: int) -> int:
         return max(self.base_filters // (2 ** k), self.min_filters)
@@ -150,26 +158,28 @@ class Generator(nn.Module):
                 fh *= a
                 fw *= b
             out = out + _upsample(dens_in, fh, fw,
-                                  mode=self.upsample_mode).astype(self.dtype)
+                                  mode=self.skip_mode).astype(self.dtype)
         return out.astype(self.out_dtype or jnp.float32)
 
 
 def make_pass1(stages: int, base_filters: int = 32, n_res_blocks: int = 2,
                dtype=jnp.float32, remat: bool = False,
-               out_dtype=None) -> Generator:
+               out_dtype=None, skip_mode: str = "resize") -> Generator:
     """Pass-1 generator: isotropic in-plane 2× per stage (2^stages total)."""
     return Generator(factors=tuple((2, 2) for _ in range(stages)),
                      base_filters=base_filters, n_res_blocks=n_res_blocks,
-                     dtype=dtype, remat=remat, out_dtype=out_dtype)
+                     dtype=dtype, remat=remat, out_dtype=out_dtype,
+                     skip_mode=skip_mode)
 
 
 def make_pass2(stages: int, base_filters: int = 32, n_res_blocks: int = 2,
                dtype=jnp.float32, remat: bool = False,
-               out_dtype=None) -> Generator:
+               out_dtype=None, skip_mode: str = "resize") -> Generator:
     """Pass-2 generator: z-only (h-axis) 2× per stage; w axis already HR."""
     return Generator(factors=tuple((2, 1) for _ in range(stages)),
                      base_filters=base_filters, n_res_blocks=n_res_blocks,
-                     dtype=dtype, remat=remat, out_dtype=out_dtype)
+                     dtype=dtype, remat=remat, out_dtype=out_dtype,
+                     skip_mode=skip_mode)
 
 
 def make_pass3(base_filters: int = 32, n_res_blocks: int = 2,

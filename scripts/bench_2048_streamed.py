@@ -31,15 +31,20 @@ from mpgan_tpu.models import generator as G
 
 
 def main():
-    z = y = x = int(os.environ.get("RES", "256"))
+    z = y = x = int(os.environ.get("RES", "128"))
     up, stages = 8, 3
-    # per-slice activations at 2048² are ~268 MB bf16: chunk 16 ≈ 4.3 GB of
-    # pass-2 activations + the 2.1 GB device-resident intermediate
-    chunk = int(os.environ.get("CHUNK", "16"))
-    chunk1 = int(os.environ.get("CHUNK1", "8"))
+    # chunk 128 is the lane-aligned regime (slice batch = 128 lanes): below
+    # it XLA lays the C=1 head-conv output channel-in-lanes and tile-pads
+    # chunk buffers 128x (8 GB at 2048^2 planes — the measured blocker that
+    # keeps RES=256/2048^3 out of reach on one chip today; see the commit
+    # message and BASELINE.md)
+    chunk = int(os.environ.get("CHUNK", "128"))
+    chunk1 = int(os.environ.get("CHUNK1", "128"))
     dtype = jnp.bfloat16
-    g1 = G.make_pass1(stages, 32, 2, dtype=dtype, out_dtype=dtype)
-    g2 = G.make_pass2(stages, 32, 2, dtype=dtype, out_dtype=dtype)
+    g1 = G.make_pass1(stages, 32, 2, dtype=dtype, out_dtype=dtype,
+                      skip_mode="conv_dense")
+    g2 = G.make_pass2(stages, 32, 2, dtype=dtype, out_dtype=dtype,
+                      skip_mode="conv_dense")
     p1 = g1.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 4)))
     p2 = g2.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16 * up, 4)))
     rng = np.random.default_rng(0)
@@ -52,10 +57,12 @@ def main():
     assert out.shape == (z * up, y * up, x * up, 1), out.shape
     checksum = float(out.mean())
     voxels = out.size
+    out_gb_dev = voxels * 2 / 1e9  # bf16 on device if it were materialized
     doc = {
         "program": f"STREAMED two-pass 8x {z}^3->{z * up}^3, chunk {chunk}, "
-                   "bf16 compute, f32 host assembly "
-                   "(output exceeds HBM; host-streamed pass-2)",
+                   "bf16 compute, f32 host assembly (host-streamed pass-2: "
+                   f"the {out_gb_dev:.1f} GB output is never materialized "
+                   "in HBM)",
         "device": jax.devices()[0].device_kind,
         "platform": jax.devices()[0].platform,
         "wall_s": round(wall, 1),
